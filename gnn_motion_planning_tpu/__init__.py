@@ -1,0 +1,23 @@
+"""gnn_motion_planning_tpu — a TPU-native motion-planning framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+rainorangelemon/gnn-motion-planning (Yu & Gao, NeurIPS 2021): GNN-guided
+sampling-based motion planning with lazy collision checking, plus the
+classical baselines (BIT*, LazySP, RRT*/NEXT, PRM+Dijkstra), over six robot
+environments (2D/3D maze, 7-DoF snake, 6-DoF UR5, 7/13-DoF KUKA, 14-DoF
+dual-KUKA).
+
+Design principles (TPU-first, not a port):
+  * collision checking / forward kinematics are batched, jit-compiled JAX
+    kernels (the reference calls PyBullet one configuration at a time —
+    reference: environment/kuka_env.py:354-411);
+  * the GNN explorer/smoother are pure-functional JAX models with a
+    torch-state-dict converter so the shipped checkpoints reproduce the
+    reference numerics (reference: model.py:48-150, model_smoother.py:46-142);
+  * planner search loops are lax.while_loop programs running entirely on
+    device (reference: eval_gnn.py:168-276 is a Python loop);
+  * scaling is SPMD: problems are sharded over a jax.sharding.Mesh, training
+    is data-parallel via pjit (the reference is single-process only).
+"""
+
+__version__ = "0.1.0"
