@@ -1,0 +1,401 @@
+"""GNN planner driver: explore + smooth + benchmark metrics.
+
+Drop-in equivalent of the reference driver (reference: eval_gnn.py:80-276):
+same call signatures, same metric definitions and printed block, same
+collision-check accounting. The heavy lifting happens on device — model
+forward, greedy frontier search, and smoothing projection are each one
+compiled call per round instead of thousands of Python/PyBullet round trips.
+"""
+
+from __future__ import annotations
+
+from time import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_motion_planning_tpu.config import set_random_seed
+from gnn_motion_planning_tpu.graphs.knn import build_rgg_edges, k_scaled
+from gnn_motion_planning_tpu.models.explorer import explorer_forward
+from gnn_motion_planning_tpu.models.smoother import smoother_forward
+from gnn_motion_planning_tpu.planners.gnn_explore import backtrack, make_explore_round
+from gnn_motion_planning_tpu.planners.gnn_smooth import (
+    base_chain_edges,
+    make_projection,
+    pad_to_bucket,
+)
+
+
+def path_cost(path) -> float:
+    """Euclidean path length (reference eval_gnn.py:53-58)."""
+
+    if len(path) < 2:
+        return 0.0
+    path = np.asarray(path, np.float64)
+    return float(np.sum(np.linalg.norm(path[1:] - path[:-1], axis=-1)))
+
+
+class _Planner(NamedTuple):
+    round_fn: object
+    project_fn: object
+    model_fwd: object
+    smoother_fwd: object
+    edges_fn: object
+
+
+def get_planner(env) -> _Planner:
+    """Jitted function bundle for one env instance (cached on the env)."""
+
+    cached = getattr(env, "_gmp_planner", None)
+    if cached is not None:
+        return cached
+    kernels = env.kernels()
+    planner = _Planner(
+        round_fn=make_explore_round(kernels, float(env.RRT_EPS)),
+        project_fn=make_projection(kernels, float(env.RRT_EPS)),
+        model_fwd=jax.jit(explorer_forward, static_argnames=("cfg", "loop")),
+        smoother_fwd=jax.jit(
+            smoother_forward, static_argnames=("cfg", "loop", "knn_k")
+        ),
+        edges_fn=jax.jit(build_rgg_edges, static_argnames=("n_free", "k1")),
+    )
+    env._gmp_planner = planner
+    return planner
+
+
+def model_smooth(model_s, free, collided, old_path, env, iter: int = 5):
+    """GNN smoothing driver (reference smoother.py:233-246).
+
+    `free`/`collided` are truncated to 500 samples each exactly like the
+    reference's obs_data (smoother.py:57-58) — including the quirk that the
+    truncation may drop the tail of the free list.
+    """
+
+    planner = get_planner(env)
+    scene = env.device_scene()
+    d = env.config_dim
+
+    free_used = np.asarray(free, np.float32)[:500]
+    coll_used = (
+        np.asarray(collided, np.float32)[:500]
+        if len(collided)
+        else np.zeros((0, d), np.float32)
+    )
+    env_nodes = np.zeros((1000, d), np.float32)
+    env_valid = np.zeros(1000, bool)
+    env_nodes[: len(free_used)] = free_used
+    env_valid[: len(free_used)] = True
+    env_nodes[500 : 500 + len(coll_used)] = coll_used
+    env_valid[500 : 500 + len(coll_used)] = True
+    n_free = jnp.int32(len(free_used))
+
+    L = len(old_path)
+    l_pad = pad_to_bucket(L)
+    base_src, base_dst, base_alive = base_chain_edges(l_pad, L)
+    path_arr = np.zeros((l_pad, d), np.float32)
+    path_arr[:L] = np.asarray(old_path, np.float32)
+    path_arr[L:] = path_arr[L - 1]
+    path_mask = np.zeros(l_pad, bool)
+    path_mask[:L] = True
+
+    path_dev = jnp.asarray(path_arr)
+    for _ in range(iter):
+        proposal = planner.smoother_fwd(
+            model_s.params,
+            model_s.cfg,
+            path_dev,
+            jnp.asarray(path_mask),
+            jnp.asarray(env_nodes),
+            jnp.asarray(env_valid),
+            n_free,
+            jnp.asarray(base_src),
+            jnp.asarray(base_dst),
+            jnp.asarray(base_alive),
+            loop=1,
+        )
+        path_dev, cnt = planner.project_fn(
+            scene, path_dev, proposal, jnp.int32(L)
+        )
+        env.collision_check_count += int(cnt)
+
+    out = np.asarray(path_dev)[:L]
+    return [out[i] for i in range(L)]
+
+
+def explore(
+    env,
+    model,
+    model_s,
+    smooth: bool = True,
+    batch: int = 500,
+    t_max: int = 1000,
+    k: int = 30,
+    smoother: str = "model",
+    loop: int = 5,
+):
+    """GNN-guided planning for the env's current problem
+    (reference eval_gnn.py:168-276; same return payload)."""
+
+    planner = get_planner(env)
+    scene = env.device_scene()
+    d = env.config_dim
+
+    c0 = env.collision_check_count
+    t0 = time()
+    forward = 0.0
+
+    success = False
+    path, smooth_path = [], []
+    n_batch = batch
+    free, collided = env.sample_n_points(n_batch, need_negative=True)
+    collided = list(collided)[: len(free)]
+    free = [np.asarray(env.init_state, np.float64)] + [
+        np.asarray(env.goal_state, np.float64)
+    ] + [np.asarray(f) for f in free]
+
+    obstacles, obs_mask = env.obs_tokens()
+    goal = jnp.asarray(np.asarray(env.goal_state, np.float32))
+
+    state = None  # persistent (explored, prev, costs, edge_dead) as numpy
+    v_np = None
+    while not success and (len(free) - 2) <= t_max:
+        F = len(free)
+        C = len(collided)
+        N = 2 * F
+        v_np = np.zeros((N, d), np.float32)
+        v_np[:F] = np.asarray(free, np.float32)
+        v_np[F : F + C] = np.asarray(collided, np.float32)
+        node_valid = np.zeros(N, bool)
+        node_valid[: F + C] = True
+        collided_mask = np.zeros(N, bool)
+        collided_mask[F : F + C] = True
+
+        v_dev = jnp.asarray(v_np)
+        edges = planner.edges_fn(
+            v_dev, jnp.asarray(node_valid), n_free=F, k1=k_scaled(k, F)
+        )
+
+        t1 = time()
+        policy = planner.model_fwd(
+            model.params,
+            model.cfg,
+            v_dev,
+            jnp.asarray(node_valid),
+            goal,
+            edges.src,
+            edges.dst,
+            edges.alive,
+            jnp.asarray(obstacles),
+            jnp.asarray(obs_mask),
+            loop=loop,
+        )
+        policy.block_until_ready()
+        forward += time() - t1
+
+        if state is None:
+            explored = np.zeros(N, bool)
+            explored[0] = True
+            prev = np.zeros(N, np.int32)
+            costs = np.zeros(N, np.float32)
+            edge_dead = np.zeros((N, N), bool)
+        else:
+            explored, prev, costs, edge_dead = state
+            n_old = explored.shape[0]
+            explored = np.pad(explored, (0, N - n_old))
+            prev = np.pad(prev, (0, N - n_old))
+            costs = np.pad(costs, (0, N - n_old))
+            edge_dead = np.pad(
+                edge_dead, ((0, N - n_old), (0, N - n_old))
+            )
+
+        res = planner.round_fn(
+            scene,
+            v_dev,
+            goal,
+            policy,
+            edges,
+            jnp.asarray(collided_mask),
+            jnp.asarray(node_valid),
+            jnp.asarray(explored),
+            jnp.asarray(prev),
+            jnp.asarray(costs),
+            jnp.asarray(edge_dead),
+        )
+        success = bool(res.success)
+        env.collision_check_count += int(res.n_checks)
+        state = (
+            np.asarray(res.explored),
+            np.asarray(res.prev),
+            np.asarray(res.costs),
+            np.asarray(res.edge_dead),
+        )
+
+        if success:
+            idx_path = backtrack(np.asarray(res.prev), int(res.success_node))
+            path = [v_np[i] for i in idx_path]
+        else:
+            if not smooth:
+                return []
+            if (n_batch + len(free) - 2) > t_max:
+                break
+            new_free, new_collided = env.sample_n_points(
+                n_batch, need_negative=True
+            )
+            free = free + [np.asarray(f) for f in new_free]
+            collided = collided + list(new_collided)
+            collided = collided[: len(free)]
+
+    c_explore = env.collision_check_count - c0
+    c1 = env.collision_check_count
+    t1 = time()
+    if success and smooth:
+        if smoother == "model":
+            smooth_path = model_smooth(model_s, free, collided, path, env)
+        elif smoother == "oracle":
+            from gnn_motion_planning_tpu.planners.oracle_smoother import (
+                joint_smoother,
+            )
+
+            smooth_path = joint_smoother(path, env, iter=5)
+        else:
+            smooth_path = path
+    c_smooth = env.collision_check_count - c1
+
+    if not smooth:
+        return path, free, collided
+
+    explored_idx = (
+        list(np.nonzero(state[0])[0]) if state is not None else [0]
+    )
+    total_time = time()
+    return {
+        "c_explore": int(c_explore),
+        "c_smooth": int(c_smooth),
+        "explored": explored_idx,
+        "forward": forward,
+        "total": total_time - t0,
+        "total_explore": t1 - t0,
+        "success": success,
+        "t0": t0,
+        "path": path,
+        "smooth_path": smooth_path,
+        "v": v_np,
+    }
+
+
+def eval_gnn(
+    str_,
+    seed,
+    env,
+    indexes,
+    model=None,
+    model_s=None,
+    use_tqdm: bool = False,
+    smooth: bool = True,
+    batch: int = 500,
+    t_max: int = 500,
+    k: int = 30,
+    **kwargs,
+):
+    """Benchmark sweep with the reference's metric block
+    (reference eval_gnn.py:96-145)."""
+
+    from gnn_motion_planning_tpu.api.registry import str2name
+
+    rng = set_random_seed(seed)
+    env.rng = rng
+    if model is None:
+        _, model, _, _, _ = str2name(str_)
+    if model_s is None:
+        _, _, _, model_s, _ = str2name(str_)
+
+    solutions = []
+    paths, smooth_paths = [], []
+
+    iterator = indexes
+    if use_tqdm:
+        from tqdm import tqdm
+
+        iterator = tqdm(indexes)
+
+    for index in iterator:
+        env.init_new_problem(int(index))
+        result = explore(
+            env, model, model_s, smooth, batch=batch, t_max=t_max, k=k, **kwargs
+        )
+        paths.append(result["path"])
+        smooth_paths.append(result["smooth_path"])
+        solutions.append(
+            (
+                result["success"],
+                path_cost(result["path"]),
+                path_cost(result["smooth_path"]),
+                result["c_explore"],
+                result["c_smooth"],
+                result["total"],
+                result["total_explore"],
+            )
+        )
+        if use_tqdm:
+            iterator.set_description(
+                "gnn %.2fs, search %.2fs, explored %d"
+                % (
+                    result["forward"],
+                    result["total"] - result["forward"],
+                    len(result["explored"]),
+                )
+            )
+
+    n_success = sum(s[0] for s in solutions)
+    collision_explore = float(np.mean([s[3] for s in solutions]))
+    collision = float(np.mean([s[3] + s[4] for s in solutions]))
+    running_time = (
+        float(sum(s[5] for s in solutions if s[0])) / n_success
+        if n_success
+        else float("nan")
+    )
+    solution_cost = (
+        float(sum(s[2] for s in solutions if s[0])) / n_success
+        if n_success
+        else float("nan")
+    )
+    total_time = float(sum(s[5] for s in solutions))
+    total_time_explore = float(sum(s[6] for s in solutions))
+
+    print("success rate:", n_success)
+    print("collision check: %.2f" % collision)
+    print("collision check explore: %.2f" % collision_explore)
+    print("running time: %.2f" % running_time)
+    print("path cost: %.2f" % solution_cost)
+    print("total time: %.2f" % total_time)
+    print("total time explore: %.2f" % total_time_explore)
+    print("")
+
+    return (
+        n_success,
+        collision,
+        running_time,
+        solution_cost,
+        total_time,
+        paths,
+        smooth_paths,
+        collision_explore,
+        total_time_explore,
+    )
+
+
+def eval_gnn_pure(
+    str_, seed, env, indexes, model=None, model_s=None, **kwargs
+):
+    """Obstacle-encoding-free variant (reference eval_gnn.py:80-93)."""
+
+    from gnn_motion_planning_tpu.api.registry import str2name
+
+    if model is None:
+        _, model, _, model_s, _ = str2name(str_, use_obstacle=False)
+    model = model._replace(cfg=model.cfg._replace(use_obstacles=False))
+    if model_s is None:
+        _, _, _, model_s, _ = str2name(str_)
+    return eval_gnn(str_, seed, env, indexes, model, model_s, **kwargs)

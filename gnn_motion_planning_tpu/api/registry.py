@@ -1,0 +1,166 @@
+"""String registries mapping env names to environments, models, checkpoints.
+
+Drop-in equivalents of the reference registries (reference: str2env.py:11-40,
+str2name.py:11-81): same names, same test index ranges, same model
+hyperparameters and checkpoint paths. Models are returned as (params, cfg)
+bundles instead of torch modules.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from gnn_motion_planning_tpu.models.convert import load_params
+from gnn_motion_planning_tpu.models.explorer import ExplorerConfig
+from gnn_motion_planning_tpu.models.smoother import SmootherConfig
+
+
+class ExplorerModel(NamedTuple):
+    params: Optional[dict]
+    cfg: ExplorerConfig
+
+
+class SmootherModel(NamedTuple):
+    params: Optional[dict]
+    cfg: SmootherConfig
+
+
+def str2env(name: str):
+    """(env, test_indexes) for a benchmark config (str2env.py:11-40)."""
+
+    import gnn_motion_planning_tpu.envs as envs
+
+    if name == "maze2easy":
+        return envs.MazeEnv(dim=2), np.arange(2000, 3000)
+    if name == "maze2hard":
+        return envs.MazeEnv(dim=2, map_file="maze_files/mazes_hard.npz"), np.arange(1000)
+    if name == "maze3":
+        return envs.MazeEnv(dim=3), np.arange(2000, 3000)
+    if name == "kuka7":
+        return envs.KukaEnv(), np.arange(2000, 3000)
+    if name == "ur5":
+        return envs.UR5Env(), np.arange(2000, 3000)
+    if name == "snake7":
+        return envs.SnakeEnv(map_file="maze_files/snakes_15_2_3000.npz"), np.arange(
+            2000, 3000
+        )
+    if name == "kuka13":
+        return (
+            envs.KukaEnv(
+                kuka_file="kuka_iiwa/model_3.urdf",
+                map_file="maze_files/kukas_13_3000.pkl",
+            ),
+            np.arange(2000, 3000),
+        )
+    if name == "kuka14":
+        return envs.Kuka2Env(), np.arange(2000, 3000)
+    raise KeyError(name)
+
+
+_SPECS = {
+    # name -> (env_factory_key, explorer kwargs, ckpt, smoother kwargs, ckpt, data)
+    "maze2": dict(
+        explorer=dict(workspace_size=2, config_size=2, embed_size=32, obs_size=2),
+        explorer_ckpt="data/weights/weights_maze.pt",
+        smoother=dict(workspace_size=2, config_size=2, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_2d_attv3.pt",
+        data="data/pkl/maze_prm_4000.pkl",
+    ),
+    "maze3": dict(
+        explorer=dict(workspace_size=2, config_size=3, embed_size=32, obs_size=2),
+        explorer_ckpt="data/weights/weights_maze_3.pt",
+        smoother=dict(workspace_size=3, config_size=3, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_3d_attv3.pt",
+        data="data/pkl/maze_prm_3.pkl",
+    ),
+    "kuka7": dict(
+        explorer=dict(workspace_size=3, config_size=7, embed_size=64, obs_size=6),
+        explorer_ckpt="data/weights/weights_kuka.pt",
+        smoother=dict(workspace_size=3, config_size=7, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_7d_attv3.pt",
+        data="data/pkl/kuka_prm_4000.pkl",
+    ),
+    "ur5": dict(
+        explorer=dict(workspace_size=3, config_size=6, embed_size=32, obs_size=6),
+        explorer_ckpt="data/weights/weights_ur5.pt",
+        smoother=dict(workspace_size=3, config_size=6, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_ur5_attv3.pt",
+        data="data/pkl/ur5_prm_3000.pkl",
+    ),
+    "snake7": dict(
+        explorer=dict(workspace_size=3, config_size=7, embed_size=32, obs_size=2),
+        explorer_ckpt="data/weights/weights_snake.pt",
+        smoother=dict(workspace_size=3, config_size=7, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_snake_attv3.pt",
+        data="data/pkl/snake_prm_3000.pkl",
+    ),
+    "kuka13": dict(
+        explorer=dict(workspace_size=3, config_size=13, embed_size=32, obs_size=6),
+        explorer_ckpt="data/weights/weights_kuka_13.pt",
+        smoother=dict(workspace_size=3, config_size=13, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_13d_attv3.pt",
+        data="data/pkl/kuka_prm_13.pkl",
+    ),
+    "kuka14": dict(
+        explorer=dict(workspace_size=3, config_size=14, embed_size=32, obs_size=6),
+        explorer_ckpt="data/weights/kuka_14.pt",
+        smoother=dict(workspace_size=3, config_size=14, embed_size=128, obs_size=6),
+        smoother_ckpt="data/weights/smooth_14d_attv3.pt",
+        data="data/pkl/kuka_prm_14.pkl",
+    ),
+}
+
+
+def _spec_key(name: str) -> str:
+    if "maze2" in name:
+        return "maze2"
+    return name
+
+
+def str2name(name: str, get_data: bool = False, use_obstacle: bool = True, load: bool = True):
+    """(env, explorer_model, explorer_ckpt, smoother_model, smoother_ckpt
+    [, data_path]) — reference str2name.py:11-81."""
+
+    import gnn_motion_planning_tpu.envs as envs
+
+    key = _spec_key(name)
+    spec = _SPECS[key]
+
+    if key == "maze2":
+        env = envs.MazeEnv(dim=2)
+    elif key == "maze3":
+        env = envs.MazeEnv(dim=3)
+    elif key == "kuka7":
+        env = envs.KukaEnv()
+    elif key == "ur5":
+        env = envs.UR5Env()
+    elif key == "snake7":
+        env = envs.SnakeEnv(map_file="maze_files/snakes_15_2_3000.npz")
+    elif key == "kuka13":
+        env = envs.KukaEnv(
+            kuka_file="kuka_iiwa/model_3.urdf",
+            map_file="maze_files/kukas_13_3000.pkl",
+        )
+    elif key == "kuka14":
+        env = envs.Kuka2Env()
+
+    explorer_ckpt = spec["explorer_ckpt"]
+    if not use_obstacle:
+        explorer_ckpt = explorer_ckpt.replace(".pt", "_pure.pt")
+
+    scale = float(np.max(env.bound)) if key == "ur5" else 1.0
+    explorer_cfg = ExplorerConfig(use_obstacles=use_obstacle, **spec["explorer"])
+    smoother_cfg = SmootherConfig(scale=scale, **spec["smoother"])
+
+    explorer = ExplorerModel(
+        params=load_params(explorer_ckpt) if load else None, cfg=explorer_cfg
+    )
+    smoother = SmootherModel(
+        params=load_params(spec["smoother_ckpt"]) if load else None, cfg=smoother_cfg
+    )
+
+    if get_data:
+        return env, explorer, explorer_ckpt, smoother, spec["smoother_ckpt"], spec["data"]
+    return env, explorer, explorer_ckpt, smoother, spec["smoother_ckpt"]

@@ -292,20 +292,36 @@ class MazeScene(NamedTuple):
     goal: jnp.ndarray  # (dim,)
 
 
+def maze_interpolate(a: jnp.ndarray, b: jnp.ndarray, ratio, dim: int) -> jnp.ndarray:
+    """Steering with angular wrap for dim >= 3 (maze_env.py:151-172)."""
+
+    diff = b - a
+    if dim >= 3:
+        diff = wrap_theta_disp(diff)
+    new = a + diff * ratio
+    if dim >= 3:
+        new = wrap_theta_disp(new)
+    return new
+
+
 def maze_kernels(dim: int):
-    """(state_free, edge_free, distance) kernel triple for a maze dim."""
+    """EnvKernels bundle for a maze dim (scene = occupancy grid)."""
+
+    from gnn_motion_planning_tpu.envs.base import EnvKernels
 
     if dim == 2:
-        return (
-            point_free_2d,
-            edge_free_2d,
-            lambda a, b: maze_distance(a, b, 2),
+        return EnvKernels(
+            state_free=point_free_2d,
+            edge_free=edge_free_2d,
+            distance=lambda a, b: maze_distance(a, b, 2),
+            interpolate=lambda a, b, r: maze_interpolate(a, b, r, 2),
         )
     if dim == 3:
-        return (
-            stick_free_3d,
-            edge_free_3d,
-            lambda a, b: maze_distance(a, b, 3),
+        return EnvKernels(
+            state_free=stick_free_3d,
+            edge_free=edge_free_3d,
+            distance=lambda a, b: maze_distance(a, b, 3),
+            interpolate=lambda a, b, r: maze_interpolate(a, b, r, 3),
         )
     raise ValueError(f"maze dim must be 2 or 3, got {dim}")
 
@@ -379,6 +395,26 @@ class MazeEnv:
             init=jnp.asarray(self.init_state, jnp.float32),
             goal=jnp.asarray(self.goal_state, jnp.float32),
         )
+
+    def kernels(self):
+        return maze_kernels(self.dim)
+
+    def obs_tokens(self):
+        """Obstacle tokens for model cross-attention, padded to the static
+        per-env maximum (all grid cells)."""
+
+        cap = self.width * self.width
+        toks = np.zeros((cap, 2), np.float32)
+        mask = np.zeros(cap, bool)
+        n = len(self.obstacles)
+        toks[:n] = self.obstacles
+        mask[:n] = True
+        return toks, mask
+
+    def device_scene(self):
+        """Scene arg consumed by the device kernels (the occupancy grid)."""
+
+        return jnp.asarray(self.map)
 
     # -- sampling ------------------------------------------------------------
 

@@ -1,0 +1,121 @@
+"""GNN smoothing: model proposals projected onto the free space.
+
+Equivalent of the reference's ``model_smooth`` pipeline (reference:
+smoother.py:233-246 + proposed_path_smootherv2 smoother.py:194-216): five
+outer iterations of {smoother-GNN proposal (loop=1), clamped steer toward
+the proposal with per-node accept tests}. The projection's sequential
+per-node accept scan and its K-step outer loop run as one compiled
+``lax.while_loop``; collision-check counts are returned explicitly with the
+reference's short-circuit semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_motion_planning_tpu.envs.base import EnvKernels
+
+
+class _PCarry(NamedTuple):
+    path: jnp.ndarray
+    k: jnp.ndarray
+    count: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def make_projection(kernels: EnvKernels, rrt_eps: float):
+    """Jitted proposed_path_smootherv2 (smoother.py:194-216)."""
+
+    @jax.jit
+    def project(scene, old_path, new_path, n_path):
+        L = old_path.shape[0]
+        idx = jnp.arange(L)
+        live = idx < n_path
+        disp = jnp.linalg.norm(old_path - new_path, axis=-1)
+        K = jnp.ceil(jnp.max(jnp.where(live, disp, 0.0)) / rrt_eps).astype(jnp.int32)
+
+        def cond(c: _PCarry):
+            return (c.k < K) & ~c.converged
+
+        def body(c: _PCarry) -> _PCarry:
+            path = c.path
+
+            def scan_body(carry, i):
+                prev_val, count, diff = carry
+                old_n = path[i]
+                new_n = new_path[i]
+                dist = jnp.linalg.norm(old_n - new_n)
+                cand = jnp.where(
+                    dist < rrt_eps,
+                    new_n,
+                    kernels.interpolate(
+                        old_n, new_n, rrt_eps / jnp.maximum(dist, 1e-30)
+                    ),
+                )
+                nxt = path[jnp.minimum(i + 1, L - 1)]
+                ok1, c1 = kernels.edge_free(scene, prev_val, cand)
+                ok2, c2 = kernels.edge_free(scene, nxt, cand)
+                interior = (i >= 1) & (i <= n_path - 2)
+                ok = ok1 & ok2
+                out_val = jnp.where(interior & ok, cand, old_n)
+                count = count + jnp.where(
+                    interior, c1 + jnp.where(ok1, c2, 0), 0
+                )
+                diff = diff + jnp.where(
+                    interior & ok, jnp.linalg.norm(out_val - new_n), 0.0
+                )
+                return (out_val, count, diff), out_val
+
+            (_, count, diff), outs = jax.lax.scan(
+                scan_body,
+                (path[0], c.count, jnp.float32(0.0)),
+                jnp.arange(L),
+            )
+            return _PCarry(
+                path=outs,
+                k=c.k + 1,
+                count=count,
+                converged=diff < 1e-5,
+            )
+
+        init = _PCarry(
+            path=old_path,
+            k=jnp.int32(0),
+            count=jnp.int32(0),
+            converged=jnp.asarray(False),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out.path, out.count
+
+    return project
+
+
+def pad_to_bucket(n: int, step: int = 16) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def base_chain_edges(l_pad: int, n_path: int):
+    """Path chain (both directions) + self loops with alive mask
+    (smoother.py:238-241)."""
+
+    src, dst, alive = [], [], []
+    for i in range(1, l_pad):
+        src.append(i)
+        dst.append(i - 1)
+        alive.append(i < n_path)
+        src.append(i - 1)
+        dst.append(i)
+        alive.append(i < n_path)
+    for i in range(l_pad):
+        src.append(i)
+        dst.append(i)
+        alive.append(i < n_path)
+    return (
+        np.asarray(src, np.int32),
+        np.asarray(dst, np.int32),
+        np.asarray(alive, bool),
+    )
