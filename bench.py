@@ -1,0 +1,128 @@
+"""Benchmark: batched collision-check throughput on TPU.
+
+Headline metric (BASELINE.md north star): collision checks per second
+through the batched device oracle, versus the reference's per-call Python
+oracle on the host CPU (the maze env is the reference's only
+PyBullet-free oracle and is run live when the checkout is present;
+otherwise a recorded measurement of the same code on this machine is used).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+# recorded throughput of the reference MazeEnv._edge_fp loop on this host
+# (checks/sec), re-measured live whenever /root/reference is available
+_RECORDED_REF_CHECKS_PER_SEC = 60000.0
+
+_N_EDGES = 8192
+_REPS = 30
+
+
+def _sample_edges(env, rng, n):
+    """Edges between collision-free samples — the planner's real workload
+    (lazy edge checks between RGG nodes, reference eval_gnn.py:215)."""
+
+    from gnn_motion_planning_tpu.config import HostRNG
+
+    env.rng = HostRNG(0)
+    pts = np.array(env.sample_n_points(1024))
+    ia = rng.randint(0, len(pts), n)
+    ib = rng.randint(0, len(pts), n)
+    return pts[ia], pts[ib]
+
+
+def measure_tpu(env, a, b):
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.envs.maze import edge_free_2d
+
+    occ = jnp.asarray(env.map)
+
+    @jax.jit
+    def batch_check(a, b):
+        free, cnt = jax.vmap(lambda x, y: edge_free_2d(occ, x, y))(a, b)
+        return free, jnp.sum(cnt)
+
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    free, total = batch_check(a, b)  # compile + warm
+    checks_per_rep = int(jax.block_until_ready(total))
+
+    # steady-state pipelined throughput: queue all reps, block once
+    t0 = time.perf_counter()
+    for _ in range(_REPS):
+        free, total = batch_check(a, b)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+    return checks_per_rep * _REPS / dt
+
+
+def measure_reference(a, b, budget_s=6.0):
+    """Reference MazeEnv._edge_fp one call at a time (the baseline design)."""
+
+    ref_root = Path("/root/reference")
+    if not ref_root.exists():
+        return None
+    import importlib.util
+    import types
+
+    pkg = types.ModuleType("_refenv")
+    pkg.__path__ = [str(ref_root / "environment")]
+    sys.modules["_refenv"] = pkg
+    for mod in ("env_config", "maze_env"):
+        spec = importlib.util.spec_from_file_location(
+            f"_refenv.{mod}", ref_root / "environment" / f"{mod}.py"
+        )
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"_refenv.{mod}"] = m
+        spec.loader.exec_module(m)
+    ref_env = sys.modules["_refenv.maze_env"].MazeEnv(
+        dim=2, map_file=str(ref_root / "maze_files" / "mazes_15_2_3000.npz")
+    )
+    ref_env.init_new_problem(2000)
+
+    c0 = ref_env.collision_check_count
+    t0 = time.perf_counter()
+    i = 0
+    while time.perf_counter() - t0 < budget_s and i < len(a):
+        ref_env._edge_fp(a[i].astype(np.float32), b[i].astype(np.float32))
+        i += 1
+    dt = time.perf_counter() - t0
+    checks = ref_env.collision_check_count - c0
+    return checks / dt if checks else None
+
+
+def main():
+    from gnn_motion_planning_tpu.envs.maze import MazeEnv
+
+    env = MazeEnv(dim=2)
+    env.init_new_problem(2000)
+    rng = np.random.RandomState(0)
+    a, b = _sample_edges(env, rng, _N_EDGES)
+
+    tpu_cps = measure_tpu(env, a, b)
+    ref_cps = measure_reference(a, b) or _RECORDED_REF_CHECKS_PER_SEC
+
+    print(
+        json.dumps(
+            {
+                "metric": "collision_checks_per_sec",
+                "value": round(tpu_cps, 1),
+                "unit": "checks/s",
+                "vs_baseline": round(tpu_cps / ref_cps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
