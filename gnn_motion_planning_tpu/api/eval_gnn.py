@@ -166,7 +166,8 @@ def explore(
         N = 2 * F
         v_np = np.zeros((N, d), np.float32)
         v_np[:F] = np.asarray(free, np.float32)
-        v_np[F : F + C] = np.asarray(collided, np.float32)
+        if C:
+            v_np[F : F + C] = np.asarray(collided, np.float32)
         node_valid = np.zeros(N, bool)
         node_valid[: F + C] = True
         collided_mask = np.zeros(N, bool)

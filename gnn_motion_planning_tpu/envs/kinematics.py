@@ -1,0 +1,120 @@
+"""Batched forward kinematics over serial chains (replaces PyBullet FK).
+
+The reference computes FK one configuration at a time through PyBullet
+(``resetJointState`` + ``getLinkState``, reference:
+environment/kuka_env.py:168-180,274-279). Here the chain is a static set of
+arrays (joint origins, axes, capsule attachments) produced by envs/urdf.py,
+and FK is a pure jittable scan over joints — vmapped over thousands of
+configurations per call.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_motion_planning_tpu.envs.urdf import RobotModel, rpy_to_matrix
+
+
+class ChainParams(NamedTuple):
+    """Static chain arrays. J joints, L=J+1 link frames, C capsules."""
+
+    origin_rot: jnp.ndarray  # (J, 3, 3)
+    origin_trans: jnp.ndarray  # (J, 3)
+    axis: jnp.ndarray  # (J, 3) unit
+    q_index: jnp.ndarray  # (J,) index into config vector, -1 if fixed
+    cap_link: jnp.ndarray  # (C,) frame index (0 = base link)
+    cap_p0: jnp.ndarray  # (C, 3)
+    cap_p1: jnp.ndarray  # (C, 3)
+    cap_r: jnp.ndarray  # (C,)
+    lower: jnp.ndarray  # (dof,)
+    upper: jnp.ndarray  # (dof,)
+
+
+def chain_from_model(model: RobotModel) -> ChainParams:
+    J = len(model.joints)
+    origin_rot = np.stack([rpy_to_matrix(j.origin_rpy) for j in model.joints])
+    origin_trans = np.stack([j.origin_xyz for j in model.joints])
+    axis = np.stack(
+        [j.axis / max(np.linalg.norm(j.axis), 1e-12) for j in model.joints]
+    )
+    q_index = np.full(J, -1, np.int32)
+    for qi, ji in enumerate(model.movable):
+        q_index[ji] = qi
+
+    frame_of = {name: i for i, name in enumerate(model.link_order)}
+    cap_link = np.array([frame_of[c.link] for c in model.capsules], np.int32)
+    cap_p0 = np.stack([c.p0 for c in model.capsules])
+    cap_p1 = np.stack([c.p1 for c in model.capsules])
+    cap_r = np.array([c.radius for c in model.capsules])
+    pr = model.pose_range()
+    return ChainParams(
+        origin_rot=jnp.asarray(origin_rot, jnp.float32),
+        origin_trans=jnp.asarray(origin_trans, jnp.float32),
+        axis=jnp.asarray(axis, jnp.float32),
+        q_index=jnp.asarray(q_index),
+        cap_link=jnp.asarray(cap_link),
+        cap_p0=jnp.asarray(cap_p0, jnp.float32),
+        cap_p1=jnp.asarray(cap_p1, jnp.float32),
+        cap_r=jnp.asarray(cap_r, jnp.float32),
+        lower=jnp.asarray(pr[:, 0], jnp.float32),
+        upper=jnp.asarray(pr[:, 1], jnp.float32),
+    )
+
+
+def _axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues rotation matrix about a unit axis."""
+
+    x, y, z = axis[0], axis[1], axis[2]
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    C = 1.0 - c
+    return jnp.array(
+        [
+            [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
+            [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
+            [z * x * C - y * s, z * y * C + x * s, z * z * C + c],
+        ]
+    )
+
+
+def fk_link_frames(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans=None):
+    """World (R, t) for every link frame; frame 0 is the base link."""
+
+    J = chain.origin_rot.shape[0]
+    r0 = jnp.eye(3, dtype=jnp.float32) if base_rot is None else base_rot
+    t0 = jnp.zeros(3, jnp.float32) if base_trans is None else base_trans
+
+    def step(carry, j):
+        R, t = carry
+        Rj = chain.origin_rot[j]
+        tj = chain.origin_trans[j]
+        qi = chain.q_index[j]
+        angle = jnp.where(qi >= 0, q[jnp.maximum(qi, 0)], 0.0)
+        Rq = _axis_angle(chain.axis[j], angle)
+        R_new = R @ Rj @ Rq
+        t_new = R @ tj + t
+        return (R_new, t_new), (R_new, t_new)
+
+    (_, _), (Rs, ts) = jax.lax.scan(step, (r0, t0), jnp.arange(J))
+    Rs = jnp.concatenate([r0[None], Rs], axis=0)  # (L, 3, 3)
+    ts = jnp.concatenate([t0[None], ts], axis=0)  # (L, 3)
+    return Rs, ts
+
+
+def capsules_world(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans=None):
+    """Capsule endpoints in world frame: (C,3), (C,3), radii (C,)."""
+
+    Rs, ts = fk_link_frames(chain, q, base_rot, base_trans)
+    R = Rs[chain.cap_link]  # (C, 3, 3)
+    t = ts[chain.cap_link]  # (C, 3)
+    p0 = jnp.einsum("cij,cj->ci", R, chain.cap_p0) + t
+    p1 = jnp.einsum("cij,cj->ci", R, chain.cap_p1) + t
+    return p0, p1, chain.cap_r
+
+
+def end_effector(chain: ChainParams, q: jnp.ndarray, link_index: int = -1):
+    Rs, ts = fk_link_frames(chain, q)
+    return ts[link_index]

@@ -1,0 +1,447 @@
+"""KUKA iiwa environments (7-DoF, 13-DoF) — batched capsule collision.
+
+Replaces the reference's PyBullet-backed arm env (reference:
+environment/kuka_env.py:10-411): problems are the same pickled
+(obstacles(halfExtents, basePosition), start, goal, demo_path) lists, the
+robot is a capsule decomposition of the URDF meshes (envs/urdf.py), and the
+collision oracle is batched FK + capsule-vs-AABB distance on device. The
+host wrapper mirrors the reference protocol including collision-check
+counting (kuka_env.py:354-370: every valid-state check counts, free or not)
+and the fixed-step edge rule K = int(d / RRT_EPS) with k = 0..K-1
+(kuka_env.py:389-411, re-checking the start point at k = 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_motion_planning_tpu.envs.base import EnvKernels
+from gnn_motion_planning_tpu.envs.geometry import seg_box_sq_dist
+from gnn_motion_planning_tpu.envs.kinematics import (
+    ChainParams,
+    capsules_world,
+    chain_from_model,
+    fk_link_frames,
+)
+from gnn_motion_planning_tpu.envs.urdf import parse_urdf
+from gnn_motion_planning_tpu.utils.assets import asset_path
+
+_BIG = np.int32(1 << 30)
+MAX_OBSTACLES = 16
+
+
+def _apply_calibration(chain: ChainParams, urdf_relpath: str) -> ChainParams:
+    """Shrink capsule radii by offsets calibrated against the shipped
+    known-free configurations (tools/calibrate_capsules.py)."""
+
+    import json
+    from pathlib import Path
+
+    try:
+        cal_path = asset_path(f"calibration/{Path(urdf_relpath).stem}.json")
+    except FileNotFoundError:
+        return chain
+    payload = json.loads(Path(cal_path).read_text())
+    offsets = np.asarray(payload["radius_offsets"], np.float32)
+    if offsets.shape[0] != chain.cap_r.shape[0]:
+        return chain  # stale calibration for a different decomposition
+    return chain._replace(cap_r=jnp.maximum(chain.cap_r - offsets, 1e-3))
+
+
+class BoxScene(NamedTuple):
+    """Padded axis-aligned obstacle set for one problem."""
+
+    centers: jnp.ndarray  # (B, 3)
+    halfs: jnp.ndarray  # (B, 3)
+    mask: jnp.ndarray  # (B,) bool
+
+
+def make_box_scene(obstacles) -> BoxScene:
+    centers = np.zeros((MAX_OBSTACLES, 3), np.float32)
+    halfs = np.zeros((MAX_OBSTACLES, 3), np.float32)
+    mask = np.zeros(MAX_OBSTACLES, bool)
+    for i, (half, base) in enumerate(obstacles):
+        halfs[i] = half
+        centers[i] = base
+        mask[i] = True
+    return BoxScene(jnp.asarray(centers), jnp.asarray(halfs), jnp.asarray(mask))
+
+
+def chain_state_free(chain: ChainParams, scene: BoxScene, q: jnp.ndarray):
+    """(free, n_checks) for one configuration (kuka_env.py:354-370)."""
+
+    valid = jnp.all((q >= chain.lower) & (q <= chain.upper))
+    p0, p1, r = capsules_world(chain, q)
+    d2 = seg_box_sq_dist(
+        p0[:, None, :], p1[:, None, :], scene.centers[None], scene.halfs[None]
+    )  # (C, B)
+    contact = (d2 < (r[:, None] ** 2)) & scene.mask[None, :]
+    free = valid & ~jnp.any(contact)
+    return free, valid.astype(jnp.int32)
+
+
+def make_chain_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKernels:
+    """EnvKernels for a serial-chain robot among AABB obstacles."""
+
+    def state_free(scene: BoxScene, q: jnp.ndarray):
+        return chain_state_free(chain, scene, q)
+
+    def distance(a: jnp.ndarray, b: jnp.ndarray):
+        b = jnp.clip(b, chain.lower, chain.upper)
+        return jnp.sqrt(jnp.sum((b - a) ** 2, axis=-1))
+
+    def interpolate(a: jnp.ndarray, b: jnp.ndarray, ratio):
+        new = a + (b - a) * ratio
+        return jnp.clip(new, chain.lower, chain.upper)
+
+    def edge_free(scene: BoxScene, qa: jnp.ndarray, qb: jnp.ndarray):
+        valid = jnp.all((qa >= chain.lower) & (qa <= chain.upper)) & jnp.all(
+            (qb >= chain.lower) & (qb <= chain.upper)
+        )
+        fa, _ = chain_state_free(chain, scene, qa)
+        fb, _ = chain_state_free(chain, scene, qb)
+
+        disp = qb - qa
+        d = distance(qa, qb)
+        K = (d / rrt_eps).astype(jnp.int32)
+        ks = jnp.arange(k_max, dtype=qa.dtype)
+        active = ks < K.astype(qa.dtype)
+        cs = qa[None, :] + (ks / jnp.maximum(K, 1).astype(qa.dtype))[:, None] * disp[None, :]
+        in_free, _ = jax.vmap(lambda c: chain_state_free(chain, scene, c))(cs)
+
+        failing = active & ~in_free
+        order = jnp.arange(k_max, dtype=jnp.int32)
+        first_fail = jnp.min(jnp.where(failing, order, _BIG))
+        interior_cnt = jnp.sum((active & (order <= first_fail)).astype(jnp.int32))
+        interior_free = first_fail == _BIG
+
+        free = valid & fa & fb & interior_free
+        count = jnp.where(
+            valid, 1 + jnp.where(fa, 1 + jnp.where(fb, interior_cnt, 0), 0), 0
+        )
+        return free, count.astype(jnp.int32)
+
+    return EnvKernels(
+        state_free=state_free,
+        edge_free=edge_free,
+        distance=distance,
+        interpolate=interpolate,
+    )
+
+
+class KukaEnv:
+    """Host wrapper with the reference env protocol (kuka_env.py:10-411)."""
+
+    RRT_EPS = 0.5
+    voxel_r = 0.1
+
+    def __init__(
+        self,
+        GUI: bool = False,
+        kuka_file: str = "kuka_iiwa/model_0.urdf",
+        map_file: str = "maze_files/kukas_7_3000.pkl",
+    ):
+        self.dim = 3
+        self.kuka_file = kuka_file
+        self.collision_check_count = 0
+        self.collision_point = None
+        self.maps = {}
+        self.rng = None
+
+        model = parse_urdf(asset_path(kuka_file))
+        self.model = model
+        self.chain = _apply_calibration(chain_from_model(model), kuka_file)
+        self.config_dim = model.config_dim
+        self.pose_range = [
+            (float(lo), float(hi)) for lo, hi in model.pose_range()
+        ]
+        self.bound = np.array(self.pose_range).T.reshape(-1)
+        self.kukaEndEffectorIndex = self.config_dim - 1
+
+        with open(asset_path(map_file), "rb") as f:
+            self.problems = pickle.load(f)
+        self.order = list(range(len(self.problems)))
+        self.episode_i = 0
+
+        self._batch_state_free = None  # lazily jitted batch oracle
+
+    def __str__(self):
+        return "kuka" + str(self.config_dim)
+
+    # -- problem management --------------------------------------------------
+
+    def init_new_problem(self, index: Optional[int] = None):
+        if index is None:
+            index = self.episode_i
+        self.index = index
+        obstacles, start, goal, path = self.problems[index]
+        self.episode_i = (self.episode_i + 1) % len(self.order)
+        self.collision_check_count = 0
+        self.collision_point = None
+        self.obstacles = obstacles
+        self.init_state = np.asarray(start)
+        self.goal_state = np.asarray(goal)
+        self.path = path
+        self._scene = make_box_scene(obstacles)
+        return self.get_problem()
+
+    def device_scene(self) -> BoxScene:
+        return self._scene
+
+    def kernels(self) -> EnvKernels:
+        return _kuka_kernels(self.chain, self.RRT_EPS, self._k_max())
+
+    def _k_max(self) -> int:
+        pr = np.array(self.pose_range)
+        d_max = float(np.linalg.norm(pr[:, 1] - pr[:, 0]))
+        return int(d_max / self.RRT_EPS) + 2
+
+    def obs_tokens(self):
+        toks = np.zeros((MAX_OBSTACLES, 6), np.float32)
+        mask = np.zeros(MAX_OBSTACLES, bool)
+        for i, (half, base) in enumerate(self.obstacles):
+            toks[i, :3] = half
+            toks[i, 3:] = base
+            mask[i] = True
+        return toks, mask
+
+    def get_problem(self, width: int = 15, index: Optional[int] = None):
+        if index is not None:
+            return self.maps[index]
+        problem = {
+            "map": np.asarray(self.obs_map(width)[1]).astype(float),
+            "init_state": self.init_state,
+            "goal_state": self.goal_state,
+        }
+        self.maps[self.index] = problem
+        return problem
+
+    def obs_map(self, num: int):
+        """15^3 voxelization with the z-0.4 translation quirk
+        (kuka_env.py:145-166)."""
+
+        resolution = 2.0 / (num - 1)
+        grid = [np.linspace(-1.0, 1.0, num=num) for _ in range(3)]
+        mesh = np.meshgrid(*grid)
+        points_pos = np.concatenate(
+            [m.reshape(-1, 1) for m in mesh], axis=-1
+        )
+        points_obs = np.zeros(points_pos.shape[0], bool)
+        for obstacle_size, obstacle_base in self.obstacles:
+            lo = np.asarray(obstacle_base) - np.asarray(obstacle_size)
+            hi = np.asarray(obstacle_base) + np.asarray(obstacle_size)
+            lo = lo.astype(float).copy()
+            hi = hi.astype(float).copy()
+            lo[2] -= 0.4
+            hi[2] -= 0.4
+            bools = []
+            for i in range(3):
+                m = np.zeros(num, bool)
+                m[
+                    max(int((lo[i] + 1) / resolution), 0) : min(
+                        1 + int((hi[i] + 1) / resolution),
+                        1 + int(2.0 / resolution),
+                    )
+                ] = True
+                bools.append(m)
+            cur = np.meshgrid(*bools)
+            cur = np.concatenate([c.reshape(-1, 1) for c in cur], axis=-1)
+            points_obs |= np.all(cur, axis=-1)
+        return (
+            points_pos.reshape((num, num, num, -1)),
+            points_obs.reshape((num, num, num)),
+        )
+
+    def get_robot_points(self, config, end_point: bool = True):
+        """FK workspace points with the z-0.4 shift (kuka_env.py:168-180)."""
+
+        Rs, ts = fk_link_frames(self.chain, jnp.asarray(config, jnp.float32))
+        pts = np.asarray(ts)[1:]  # child link frames = PyBullet link states
+        pts = pts - np.array([0.0, 0.0, 0.4])
+        if end_point:
+            return tuple(pts[self.kukaEndEffectorIndex])
+        return [tuple(p) for p in pts[: self.kukaEndEffectorIndex + 1]]
+
+    # -- sampling ------------------------------------------------------------
+
+    def _rand(self):
+        return self.rng if self.rng is not None else np.random
+
+    def uniform_sample(self, n: int = 1):
+        pr = np.array(self.pose_range)
+        sample = self._rand().uniform(pr[:, 0], pr[:, 1], (n, self.config_dim))
+        return sample.reshape(-1) if n == 1 else sample
+
+    def sample_n_points(self, n: int, need_negative: bool = False):
+        """Chunked rejection sampling; stream-identical to
+        kuka_env.py:194-209 (free/collide decisions from our oracle)."""
+
+        rng = self.rng
+        pr = np.array(self.pose_range)
+        samples: list = []
+        negative: list = []
+        if rng is None:
+            while len(samples) < n:
+                s = self.uniform_sample()
+                if self._state_fp_nocount(s):
+                    self.collision_check_count += 1
+                    samples.append(s)
+                else:
+                    self.collision_check_count += 1
+                    if need_negative:
+                        negative.append(s)
+            return (samples, negative) if need_negative else samples
+
+        need = n
+        while need > 0:
+            chunk = max(2 * need, 64)
+            state = rng.get_state()
+            draws = rng.uniform(pr[:, 0], pr[:, 1], (chunk, self.config_dim))
+            ok = self._batch_free(draws)
+            n_acc = int(ok.sum())
+            if n_acc >= need:
+                stop = int(np.nonzero(np.cumsum(ok) == need)[0][0]) + 1
+                rng.set_state(state)
+                rng.uniform(pr[:, 0], pr[:, 1], (stop, self.config_dim))
+                draws, ok = draws[:stop], ok[:stop]
+                need = 0
+            else:
+                need -= n_acc
+            self.collision_check_count += len(draws)
+            samples.extend(draws[ok])
+            negative.extend(draws[~ok])
+        return (samples, negative) if need_negative else samples
+
+    def sample_empty_points(self):
+        while True:
+            s = self.uniform_sample()
+            if self._state_fp(s):
+                return s
+
+    def set_random_init_goal(self):
+        while True:
+            points = self.sample_n_points(n=2)
+            init, goal = points[0], points[1]
+            if np.sum(np.abs(init - goal)) != 0:
+                break
+        self.init_state, self.goal_state = init, goal
+
+    # -- metric geometry -----------------------------------------------------
+
+    def distance(self, from_state, to_state):
+        pr = np.array(self.pose_range)
+        to_state = np.clip(to_state, pr[:, 0], pr[:, 1])
+        return np.sqrt(np.sum((to_state - from_state) ** 2, axis=-1))
+
+    def interpolate(self, from_state, to_state, ratio):
+        pr = np.array(self.pose_range)
+        new_state = from_state + (to_state - from_state) * ratio
+        return np.clip(new_state, pr[:, 0], pr[:, 1])
+
+    def in_goal_region(self, state):
+        return bool(
+            self.distance(state, self.goal_state) < self.RRT_EPS
+            and self._state_fp(state)
+        )
+
+    def step(self, state, action=None, new_state=None, check_collision=True):
+        if action is not None:
+            new_state = state + action
+        pr = np.array(self.pose_range)
+        new_state = np.clip(new_state, pr[:, 0], pr[:, 1])
+        action = new_state - state
+        if not check_collision:
+            return new_state, action
+        no_collision = self._edge_fp(state, new_state)
+        done = no_collision and self.in_goal_region(new_state)
+        return new_state, action, no_collision, done
+
+    # -- collision oracle (batched device kernels under the hood) ------------
+
+    def _ensure_batch_fns(self):
+        if self._batch_state_free is None:
+            chain = self.chain
+
+            @jax.jit
+            def batch_free(scene, qs):
+                free, _ = jax.vmap(
+                    lambda q: chain_state_free(chain, scene, q)
+                )(qs)
+                return free
+
+            self._batch_state_free = batch_free
+
+    def _batch_free(self, qs: np.ndarray) -> np.ndarray:
+        self._ensure_batch_fns()
+        return np.asarray(
+            self._batch_state_free(self._scene, jnp.asarray(qs, jnp.float32))
+        )
+
+    def _valid_state(self, state):
+        pr = np.array(self.pose_range)
+        return bool((state >= pr[:, 0]).all() and (state <= pr[:, 1]).all())
+
+    def _state_fp_nocount(self, state) -> bool:
+        if not self._valid_state(state):
+            return False
+        return bool(self._batch_free(np.asarray(state)[None])[0])
+
+    def _point_in_free_space(self, state) -> bool:
+        if not self._valid_state(state):
+            return False
+        self.collision_check_count += 1
+        free = bool(self._batch_free(np.asarray(state)[None])[0])
+        if not free:
+            self.collision_point = state
+        return free
+
+    def _state_fp(self, state) -> bool:
+        return self._point_in_free_space(state)
+
+    def _edge_fp(self, state, new_state) -> bool:
+        state = np.asarray(state)
+        new_state = np.asarray(new_state)
+        if not self._valid_state(state) or not self._valid_state(new_state):
+            return False
+        if not self._point_in_free_space(state) or not self._point_in_free_space(
+            new_state
+        ):
+            return False
+        disp = new_state - state
+        d = float(self.distance(state, new_state))
+        K = int(d / self.RRT_EPS)
+        if K > 0:
+            cs = state[None] + (np.arange(K)[:, None] / K) * disp[None]
+            free = self._batch_free(cs)
+            n_checked = K if free.all() else int(np.argmin(free)) + 1
+            self.collision_check_count += n_checked
+            if not free.all():
+                self.collision_point = cs[int(np.argmin(free))]
+                return False
+        return True
+
+    def plot(self, path, make_gif: bool = False):
+        raise NotImplementedError(
+            "GUI rendering is PyBullet-specific; use utils/plot.py projections"
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _kuka_kernels_cached(key):
+    chain, rrt_eps, k_max = key
+    return make_chain_kernels(chain, rrt_eps, k_max)
+
+
+def _kuka_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKernels:
+    # ChainParams holds jnp arrays (unhashable); cache per (id, eps, k_max)
+    cache = _kuka_kernels.__dict__.setdefault("_cache", {})
+    key = (id(chain), rrt_eps, k_max)
+    if key not in cache:
+        cache[key] = make_chain_kernels(chain, rrt_eps, k_max)
+    return cache[key]
