@@ -119,6 +119,25 @@ def _spec_key(name: str) -> str:
     return name
 
 
+def str2models(name: str, use_obstacle: bool = True, scale: float = 1.0):
+    """(explorer_model, smoother_model) without constructing the env —
+    useful when the env's dataset is being (re)generated."""
+
+    spec = _SPECS[_spec_key(name)]
+    explorer_ckpt = spec["explorer_ckpt"]
+    if not use_obstacle:
+        explorer_ckpt = explorer_ckpt.replace(".pt", "_pure.pt")
+    explorer = ExplorerModel(
+        params=load_params(explorer_ckpt),
+        cfg=ExplorerConfig(use_obstacles=use_obstacle, **spec["explorer"]),
+    )
+    smoother = SmootherModel(
+        params=load_params(spec["smoother_ckpt"]),
+        cfg=SmootherConfig(scale=scale, **spec["smoother"]),
+    )
+    return explorer, smoother
+
+
 def str2name(name: str, get_data: bool = False, use_obstacle: bool = True, load: bool = True):
     """(env, explorer_model, explorer_ckpt, smoother_model, smoother_ckpt
     [, data_path]) — reference str2name.py:11-81."""

@@ -164,12 +164,27 @@ class KukaEnv:
         self.bound = np.array(self.pose_range).T.reshape(-1)
         self.kukaEndEffectorIndex = self.config_dim - 1
 
-        with open(asset_path(map_file), "rb") as f:
-            self.problems = pickle.load(f)
+        if map_file is None:
+            self.problems = []
+        else:
+            with open(asset_path(map_file), "rb") as f:
+                self.problems = pickle.load(f)
         self.order = list(range(len(self.problems)))
         self.episode_i = 0
 
         self._batch_state_free = None  # lazily jitted batch oracle
+
+    def set_problem_data(self, obstacles, start, goal, path=None):
+        """Load a problem directly (dataset generation / ad-hoc scenes)."""
+
+        self.index = -1
+        self.collision_check_count = 0
+        self.collision_point = None
+        self.obstacles = obstacles
+        self.init_state = np.asarray(start)
+        self.goal_state = np.asarray(goal)
+        self.path = path
+        self._scene = make_box_scene(obstacles)
 
     def __str__(self):
         return "kuka" + str(self.config_dim)
@@ -376,6 +391,9 @@ class KukaEnv:
                 return free
 
             self._batch_state_free = batch_free
+        if getattr(self, "_edge_fp_dev", None) is None:
+            kern = self.kernels()
+            self._edge_fp_dev = jax.jit(kern.edge_free)
 
     def _batch_free(self, qs: np.ndarray) -> np.ndarray:
         self._ensure_batch_fns()
@@ -405,26 +423,23 @@ class KukaEnv:
         return self._point_in_free_space(state)
 
     def _edge_fp(self, state, new_state) -> bool:
+        """One fused device call per edge (free/collide + reference count)."""
+
         state = np.asarray(state)
         new_state = np.asarray(new_state)
         if not self._valid_state(state) or not self._valid_state(new_state):
             return False
-        if not self._point_in_free_space(state) or not self._point_in_free_space(
-            new_state
-        ):
-            return False
-        disp = new_state - state
-        d = float(self.distance(state, new_state))
-        K = int(d / self.RRT_EPS)
-        if K > 0:
-            cs = state[None] + (np.arange(K)[:, None] / K) * disp[None]
-            free = self._batch_free(cs)
-            n_checked = K if free.all() else int(np.argmin(free)) + 1
-            self.collision_check_count += n_checked
-            if not free.all():
-                self.collision_point = cs[int(np.argmin(free))]
-                return False
-        return True
+        self._ensure_batch_fns()
+        free, count = self._edge_fp_dev(
+            self._scene,
+            jnp.asarray(state, jnp.float32),
+            jnp.asarray(new_state, jnp.float32),
+        )
+        self.collision_check_count += int(count)
+        free = bool(free)
+        if not free:
+            self.collision_point = new_state
+        return free
 
     def plot(self, path, make_gif: bool = False):
         raise NotImplementedError(

