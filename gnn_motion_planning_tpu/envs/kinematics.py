@@ -20,13 +20,15 @@ from gnn_motion_planning_tpu.envs.urdf import RobotModel, rpy_to_matrix
 
 
 class ChainParams(NamedTuple):
-    """Static chain arrays. J joints, L=J+1 link frames, C capsules."""
+    """Static kinematic-tree arrays. J joints (topo order), L link frames
+    (frame 0 = root link, frame j+1 = child of topo joint j), C capsules."""
 
     origin_rot: jnp.ndarray  # (J, 3, 3)
     origin_trans: jnp.ndarray  # (J, 3)
     axis: jnp.ndarray  # (J, 3) unit
     q_index: jnp.ndarray  # (J,) index into config vector, -1 if fixed
-    cap_link: jnp.ndarray  # (C,) frame index (0 = base link)
+    parent_frame: jnp.ndarray  # (J,) frame index of the parent link
+    cap_link: jnp.ndarray  # (C,) frame index
     cap_p0: jnp.ndarray  # (C, 3)
     cap_p1: jnp.ndarray  # (C, 3)
     cap_r: jnp.ndarray  # (C,)
@@ -46,6 +48,9 @@ def chain_from_model(model: RobotModel) -> ChainParams:
         q_index[ji] = qi
 
     frame_of = {name: i for i, name in enumerate(model.link_order)}
+    parent_frame = np.array(
+        [frame_of[j.parent] for j in model.joints], np.int32
+    )
     cap_link = np.array([frame_of[c.link] for c in model.capsules], np.int32)
     cap_p0 = np.stack([c.p0 for c in model.capsules])
     cap_p1 = np.stack([c.p1 for c in model.capsules])
@@ -56,6 +61,7 @@ def chain_from_model(model: RobotModel) -> ChainParams:
         origin_trans=jnp.asarray(origin_trans, jnp.float32),
         axis=jnp.asarray(axis, jnp.float32),
         q_index=jnp.asarray(q_index),
+        parent_frame=jnp.asarray(parent_frame),
         cap_link=jnp.asarray(cap_link),
         cap_p0=jnp.asarray(cap_p0, jnp.float32),
         cap_p1=jnp.asarray(cap_p1, jnp.float32),
@@ -81,26 +87,33 @@ def _axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def fk_link_frames(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans=None):
-    """World (R, t) for every link frame; frame 0 is the base link."""
+    """World (R, t) for every link frame of the kinematic tree.
+
+    Frames are indexed by link order (0 = root); topo joint j writes frame
+    j+1, reading its parent's frame dynamically, so branching trees (fixed
+    tool/base links, dual-arm rigs) work with one scan.
+    """
 
     J = chain.origin_rot.shape[0]
     r0 = jnp.eye(3, dtype=jnp.float32) if base_rot is None else base_rot
     t0 = jnp.zeros(3, jnp.float32) if base_trans is None else base_trans
 
+    Rs0 = jnp.zeros((J + 1, 3, 3), jnp.float32).at[0].set(r0)
+    ts0 = jnp.zeros((J + 1, 3), jnp.float32).at[0].set(t0)
+
     def step(carry, j):
-        R, t = carry
-        Rj = chain.origin_rot[j]
-        tj = chain.origin_trans[j]
+        Rs, ts = carry
+        pf = chain.parent_frame[j]
+        R = Rs[pf]
+        t = ts[pf]
         qi = chain.q_index[j]
         angle = jnp.where(qi >= 0, q[jnp.maximum(qi, 0)], 0.0)
         Rq = _axis_angle(chain.axis[j], angle)
-        R_new = R @ Rj @ Rq
-        t_new = R @ tj + t
-        return (R_new, t_new), (R_new, t_new)
+        R_new = R @ chain.origin_rot[j] @ Rq
+        t_new = R @ chain.origin_trans[j] + t
+        return (Rs.at[j + 1].set(R_new), ts.at[j + 1].set(t_new)), None
 
-    (_, _), (Rs, ts) = jax.lax.scan(step, (r0, t0), jnp.arange(J))
-    Rs = jnp.concatenate([r0[None], Rs], axis=0)  # (L, 3, 3)
-    ts = jnp.concatenate([t0[None], ts], axis=0)  # (L, 3)
+    (Rs, ts), _ = jax.lax.scan(step, (Rs0, ts0), jnp.arange(J))
     return Rs, ts
 
 

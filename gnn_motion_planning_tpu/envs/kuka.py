@@ -62,13 +62,22 @@ class BoxScene(NamedTuple):
     mask: jnp.ndarray  # (B,) bool
 
 
+def _coerce_vec3(x) -> np.ndarray:
+    """Tolerate the shipped datasets' ragged entries (floats mixed with
+    1-element arrays, e.g. ur5s_6_3000.pkl pillar obstacles)."""
+
+    return np.array(
+        [float(np.asarray(v).reshape(-1)[0]) for v in x], np.float32
+    )
+
+
 def make_box_scene(obstacles) -> BoxScene:
     centers = np.zeros((MAX_OBSTACLES, 3), np.float32)
     halfs = np.zeros((MAX_OBSTACLES, 3), np.float32)
     mask = np.zeros(MAX_OBSTACLES, bool)
     for i, (half, base) in enumerate(obstacles):
-        halfs[i] = half
-        centers[i] = base
+        halfs[i] = _coerce_vec3(half)
+        centers[i] = _coerce_vec3(base)
         mask[i] = True
     return BoxScene(jnp.asarray(centers), jnp.asarray(halfs), jnp.asarray(mask))
 
@@ -221,8 +230,8 @@ class KukaEnv:
         toks = np.zeros((MAX_OBSTACLES, 6), np.float32)
         mask = np.zeros(MAX_OBSTACLES, bool)
         for i, (half, base) in enumerate(self.obstacles):
-            toks[i, :3] = half
-            toks[i, 3:] = base
+            toks[i, :3] = _coerce_vec3(half)
+            toks[i, 3:] = _coerce_vec3(base)
             mask[i] = True
         return toks, mask
 
@@ -249,8 +258,8 @@ class KukaEnv:
         )
         points_obs = np.zeros(points_pos.shape[0], bool)
         for obstacle_size, obstacle_base in self.obstacles:
-            lo = np.asarray(obstacle_base) - np.asarray(obstacle_size)
-            hi = np.asarray(obstacle_base) + np.asarray(obstacle_size)
+            lo = _coerce_vec3(obstacle_base) - _coerce_vec3(obstacle_size)
+            hi = _coerce_vec3(obstacle_base) + _coerce_vec3(obstacle_size)
             lo = lo.astype(float).copy()
             hi = hi.astype(float).copy()
             lo[2] -= 0.4

@@ -263,27 +263,50 @@ def parse_urdf(path: str, n_caps: int = 3) -> RobotModel:
 
     link_names = [l.get("name") for l in root.findall("link")]
     roots = [n for n in link_names if n not in children]
-    # serial-chain order: walk child pointers from the root
-    order = [roots[0]]
-    by_parent = {j.parent: j for j in joints}
-    while order[-1] in by_parent:
-        order.append(by_parent[order[-1]].child)
-    # reorder joints chain-first (PyBullet joint index order)
-    joints_sorted = [by_parent[n] for n in order[:-1] if n in by_parent]
+    root_link = roots[0]
+
+    # topological joint order (kinematic tree; parents before children).
+    by_parent: Dict[str, List[JointSpec]] = {}
+    for j in joints:
+        by_parent.setdefault(j.parent, []).append(j)
+    topo: List[JointSpec] = []
+    stack = [root_link]
+    order = [root_link]
+    while stack:
+        link = stack.pop(0)
+        for j in by_parent.get(link, []):
+            topo.append(j)
+            order.append(j.child)
+            stack.append(j.child)
+
+    # configuration indices follow *declaration order* of movable joints
+    # (PyBullet joint-index parity: reference ur5_env.py:113-118 selects
+    # revolute joints in file order)
+    decl_movable = [
+        j.name
+        for j in joints
+        if j.joint_type in ("revolute", "prismatic", "continuous")
+    ]
+    movable = [
+        i
+        for i, j in enumerate(topo)
+        if j.joint_type in ("revolute", "prismatic", "continuous")
+    ]
+    # sort `movable` (topo indices) by declaration rank so q order matches
+    movable.sort(key=lambda i: decl_movable.index(topo[i].name))
 
     capsules: List[LinkCapsule] = []
     for l in root.findall("link"):
+        if l.get("name") not in order:
+            continue
         for col in l.findall("collision"):
             caps = _geometry_capsule(l.get("name"), col, base_dir, n_caps=n_caps)
             if caps:
                 capsules.extend(caps)
 
-    movable = [
-        i for i, j in enumerate(joints_sorted) if j.joint_type in ("revolute", "prismatic", "continuous")
-    ]
     return RobotModel(
         name=root.get("name"),
-        joints=joints_sorted,
+        joints=topo,
         link_order=order,
         capsules=capsules,
         movable=movable,

@@ -75,7 +75,9 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
             continue
         env.set_problem_data(obstacles, start, goal)
 
-        # fast solvability proof: GNN explorer first, BIT* as fallback
+        # fast solvability proof: GNN explorer, short BIT* fallback, else
+        # discard (dataset keeps only provably solvable problems, like the
+        # reference sets whose every entry carries a demo path)
         path = None
         try:
             result = explore(
@@ -89,7 +91,7 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
             bit = BITStar(env, batch_size=100, T=400)
             try:
                 _, _, _, cost, _, _ = bit.plan(
-                    float("inf"), refine_time_budget=0, time_budget=20
+                    float("inf"), refine_time_budget=0, time_budget=15
                 )
             except Exception:
                 continue
@@ -97,12 +99,13 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
                 continue
             path = [np.asarray(p) for p in bit.get_best_path()]
         problems.append([obstacles, start, goal, path])
-        if len(problems) % 25 == 0:
+        if len(problems) % 5 == 0:
             rate = (time() - t0) / len(problems)
             print(
                 f"{len(problems)}/{n_problems} ({attempts} attempts, {rate:.1f}s/problem)",
                 flush=True,
             )
+        if len(problems) % 25 == 0:
             with open(out_path, "wb") as f:
                 pickle.dump(problems, f)
 
