@@ -203,6 +203,8 @@ def _geometry_capsule(link_name, col, base_dir, n_caps: int = 3) -> Optional[Lis
         return out
     else:
         cyl = geom.find("cylinder")
+        if cyl is None:
+            cyl = geom.find("capsule")
         box = geom.find("box")
         sph = geom.find("sphere")
         if cyl is not None:

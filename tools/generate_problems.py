@@ -114,10 +114,75 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
     print(f"wrote {len(problems)} problems -> {out_path}")
 
 
+def generate_snake(n_problems: int, seed: int, out_path: Path):
+    """snakes_15_2_3000.npz schema: maps (N,15,15), init_states (N,7),
+    goal_states (N,7). Maps reuse the shipped 15x15 maze distribution."""
+
+    from gnn_motion_planning_tpu.api.eval_gnn import explore
+    from gnn_motion_planning_tpu.api.registry import str2models
+    from gnn_motion_planning_tpu.envs import SnakeEnv
+    from gnn_motion_planning_tpu.utils.assets import asset_path
+
+    with np.load(asset_path("maze_files/mazes_15_2_3000.npz")) as f:
+        maze_maps = f["maps"]
+
+    env = SnakeEnv(map_file=None)
+    model, model_s = str2models("snake7")
+    rng = HostRNG(seed)
+    env.rng = rng
+
+    maps, inits, goals = [], [], []
+    t0 = time()
+    attempts = 0
+    while len(maps) < n_problems:
+        attempts += 1
+        occ = maze_maps[attempts % len(maze_maps)]
+        env.set_problem_data(occ, np.zeros(7), np.zeros(7))
+        try:
+            pts = env.sample_n_points(2)
+        except Exception:
+            continue
+        start, goal = np.asarray(pts[0]), np.asarray(pts[1])
+        if np.linalg.norm(start - goal) < env.RRT_EPS:
+            continue
+        env.set_problem_data(occ, start, goal)
+        try:
+            result = explore(
+                env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
+            )
+        except Exception:
+            continue
+        if not result["success"]:
+            continue
+        maps.append(occ)
+        inits.append(start)
+        goals.append(goal)
+        if len(maps) % 5 == 0:
+            rate = (time() - t0) / len(maps)
+            print(f"{len(maps)}/{n_problems} ({attempts} attempts, {rate:.1f}s/problem)", flush=True)
+        if len(maps) % 50 == 0:
+            np.savez(
+                out_path,
+                maps=np.asarray(maps),
+                init_states=np.asarray(inits),
+                goal_states=np.asarray(goals),
+            )
+    np.savez(
+        out_path,
+        maps=np.asarray(maps),
+        init_states=np.asarray(inits),
+        goal_states=np.asarray(goals),
+    )
+    print(f"wrote {len(maps)} problems -> {out_path}")
+
+
 if __name__ == "__main__":
     name = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20240816
-    fname = {"kuka13": "kukas_13_3000.pkl", "kuka14": "kukas_14_3000.pkl"}[name]
-    out = REPO / "assets" / "maze_files" / fname
-    generate(name, n, seed, out)
+    if name == "snake7":
+        generate_snake(n, seed, REPO / "assets" / "maze_files" / "snakes_15_2_3000.npz")
+    else:
+        fname = {"kuka13": "kukas_13_3000.pkl", "kuka14": "kukas_14_3000.pkl"}[name]
+        out = REPO / "assets" / "maze_files" / fname
+        generate(name, n, seed, out)
