@@ -62,6 +62,7 @@ class BITStar:
 
         self.n_collision_points = 0
         self.n_free_points = 2
+        self.deadline = None  # wall-clock bound honoured inside sampling
 
     # -- sampling ------------------------------------------------------------
 
@@ -124,12 +125,16 @@ class BITStar:
         self.n_collision_points += int((~free).sum())
         return free
 
-    def informed_sample(self, c_best, sample_num, vertices):
+    def informed_sample(self, c_best, sample_num, vertices, max_rounds: int = 500):
         out = []
-        while len(out) < sample_num:
+        rounds = 0
+        while len(out) < sample_num and rounds < max_rounds:
+            rounds += 1
             cand = self._draw_candidates(c_best, max(sample_num - len(out), 32))
             free = self._batch_point_free(cand)
             out.extend(tuple(p) for p in cand[free])
+            if self.deadline is not None and time() > self.deadline:
+                break
         return out[:sample_num]
 
     # -- scores --------------------------------------------------------------
@@ -263,6 +268,8 @@ class BITStar:
 
         self.setup_planning()
         init_time = time()
+        if time_budget != INF:
+            self.deadline = init_time + time_budget
 
         while self.T < self.T_max and (time() - init_time < time_budget):
             if not self.vertex_queue and not self.edge_queue:

@@ -31,6 +31,22 @@ sys.path.insert(0, str(REPO))
 from gnn_motion_planning_tpu.config import HostRNG  # noqa: E402
 
 
+def bounded_free_samples(env, rng, n, max_rounds: int = 20):
+    """Draw up to max_rounds*64 candidates; None if free space is ~empty."""
+
+    pr = np.array(env.pose_range)
+    out = []
+    for _ in range(max_rounds):
+        cand = rng.uniform(pr[:, 0], pr[:, 1], (64, env.config_dim))
+        free = env._batch_free(cand)
+        out.extend(cand[free])
+    # demand a workable free-space fraction (>= ~0.6%) so the downstream
+    # batch sampler terminates quickly
+    if len(out) >= max(n, 8):
+        return out[:n]
+    return None
+
+
 def sample_obstacles(rng):
     n = rng.randint(2, 10)
     obstacles = []
@@ -66,9 +82,8 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
         attempts += 1
         obstacles = sample_obstacles(rng)
         env.set_problem_data(obstacles, np.zeros(env.config_dim), np.zeros(env.config_dim))
-        try:
-            pts = env.sample_n_points(2)
-        except Exception:
+        pts = bounded_free_samples(env, rng, 2)
+        if pts is None:  # near-zero free space; discard this obstacle set
             continue
         start, goal = np.asarray(pts[0]), np.asarray(pts[1])
         if np.linalg.norm(start - goal) < env.RRT_EPS:
@@ -138,9 +153,8 @@ def generate_snake(n_problems: int, seed: int, out_path: Path):
         attempts += 1
         occ = maze_maps[attempts % len(maze_maps)]
         env.set_problem_data(occ, np.zeros(7), np.zeros(7))
-        try:
-            pts = env.sample_n_points(2)
-        except Exception:
+        pts = bounded_free_samples(env, rng, 2)
+        if pts is None:
             continue
         start, goal = np.asarray(pts[0]), np.asarray(pts[1])
         if np.linalg.norm(start - goal) < env.RRT_EPS:
