@@ -390,25 +390,55 @@ class KukaEnv:
 
     def _ensure_batch_fns(self):
         if self._batch_state_free is None:
-            chain = self.chain
+            kern = self.kernels()
 
             @jax.jit
             def batch_free(scene, qs):
-                free, _ = jax.vmap(
-                    lambda q: chain_state_free(chain, scene, q)
-                )(qs)
+                free, _ = jax.vmap(lambda q: kern.state_free(scene, q))(qs)
                 return free
 
             self._batch_state_free = batch_free
         if getattr(self, "_edge_fp_dev", None) is None:
             kern = self.kernels()
             self._edge_fp_dev = jax.jit(kern.edge_free)
+        if getattr(self, "_batch_edge_dev", None) is None:
+            kern = self.kernels()
+
+            @jax.jit
+            def batch_edges(scene, a, b):
+                return jax.vmap(lambda x, y: kern.edge_free(scene, x, y))(a, b)
+
+            self._batch_edge_dev = batch_edges
+
+    def _batch_edge_free(self, a: np.ndarray, b: np.ndarray):
+        """Batched edge oracle: (free (n,), counts (n,)), bucketed shapes."""
+
+        self._ensure_batch_fns()
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        n = len(a)
+        bucket = max(64, 1 << (n - 1).bit_length())
+        if bucket != n:
+            pad = np.broadcast_to(a[:1], (bucket - n,) + a.shape[1:])
+            a = np.concatenate([a, pad])
+            b = np.concatenate([b, np.broadcast_to(b[:1], pad.shape)])
+        free, cnt = self._batch_edge_dev(self._scene, jnp.asarray(a), jnp.asarray(b))
+        return np.asarray(free)[:n], np.asarray(cnt)[:n]
 
     def _batch_free(self, qs: np.ndarray) -> np.ndarray:
+        """Batched point oracle; inputs are padded to power-of-two buckets so
+        arbitrary chunk sizes share one compiled kernel."""
+
         self._ensure_batch_fns()
-        return np.asarray(
-            self._batch_state_free(self._scene, jnp.asarray(qs, jnp.float32))
+        qs = np.asarray(qs, np.float32)
+        n = len(qs)
+        bucket = max(64, 1 << (n - 1).bit_length())
+        if bucket != n:
+            qs = np.concatenate([qs, np.broadcast_to(qs[:1], (bucket - n,) + qs.shape[1:])])
+        out = np.asarray(
+            self._batch_state_free(self._scene, jnp.asarray(qs))
         )
+        return out[:n]
 
     def _valid_state(self, state):
         pr = np.array(self.pose_range)

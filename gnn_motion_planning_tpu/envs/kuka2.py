@@ -182,19 +182,3 @@ class Kuka2Env(KukaEnv):
         out = [tuple(p - np.array([0.0, 0.0, 0.4])) for p in pts1[:7]]
         out += [tuple(p - np.array([0.0, 0.0, 0.4])) for p in pts2[:7]]
         return out
-
-    def _ensure_batch_fns(self):
-        if self._batch_state_free is None:
-            chain, b1, b2 = self.chain, self.base1, self.base2
-
-            @jax.jit
-            def batch_free(scene, qs):
-                free, _ = jax.vmap(
-                    lambda q: dual_state_free(chain, b1, b2, scene, q)
-                )(qs)
-                return free
-
-            self._batch_state_free = batch_free
-        if getattr(self, "_edge_fp_dev", None) is None:
-            kern = self.kernels()
-            self._edge_fp_dev = jax.jit(kern.edge_free)

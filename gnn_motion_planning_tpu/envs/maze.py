@@ -623,6 +623,18 @@ class MazeEnv:
             ) and self._iterative_check_segment(mid, right)
         return True
 
+    def _batch_edge_free(self, a, b):
+        """Batched edge oracle (host numpy is already fast for the grid)."""
+
+        free = np.zeros(len(a), bool)
+        counts = np.zeros(len(a), np.int32)
+        for i in range(len(a)):
+            c0 = self.collision_check_count
+            free[i] = self._edge_fp(np.asarray(a[i]), np.asarray(b[i]))
+            counts[i] = self.collision_check_count - c0
+        self.collision_check_count -= int(counts.sum())
+        return free, counts
+
     def _edge_fp(self, state, new_state):
         state, new_state = np.asarray(state), np.asarray(new_state)
         if not self._valid_state(state) or not self._valid_state(new_state):

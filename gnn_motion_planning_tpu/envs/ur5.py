@@ -250,18 +250,3 @@ class UR5Env(KukaEnv):
         if end_point:
             return tuple(pts[self.tip_index])
         return [tuple(p) for p in pts[1 : self.tip_index + 1]]
-
-    def _ensure_batch_fns(self):
-        if self._batch_state_free is None:
-            chain, geom = self.chain, self.geom
-
-            @jax.jit
-            def batch_free(scene, qs):
-                free, _ = jax.vmap(
-                    lambda q: ur5_state_free(chain, geom, scene, q)
-                )(qs)
-                return free
-
-            self._batch_state_free = batch_free
-        if getattr(self, "_edge_fp_dev", None) is None:
-            self._edge_fp_dev = jax.jit(self.kernels().edge_free)

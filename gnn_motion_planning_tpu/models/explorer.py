@@ -26,6 +26,78 @@ from gnn_motion_planning_tpu.ops.segment import masked_segment_max
 _NEG = -1e9
 
 
+def _init_linear(key, n_in, n_out, bias=True):
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / (n_in**0.5)
+    p = {"weight": jax.random.uniform(k1, (n_out, n_in), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (n_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _init_mlp2(key, n_in, n_hidden, n_out):
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    return {"0": _init_linear(k1, n_in, n_hidden), "2": _init_linear(k2, n_hidden, n_out)}
+
+
+def init_explorer_params(key, cfg: "ExplorerConfig"):
+    """Random params with torch nn.Linear default init (training from
+    scratch; reference model.py:48-105 module structure)."""
+
+    import jax
+
+    e = cfg.embed_size
+    d = cfg.config_size
+    keys = jax.random.split(key, 24)
+    params = {
+        "node_code": _init_mlp2(keys[0], d * 4, e, e),
+        "edge_code": _init_mlp2(keys[1], d * 2, e, e),
+        "obs_node_code": _init_mlp2(keys[2], cfg.obs_size, e, e),
+        "obs_edge_code": _init_mlp2(keys[3], cfg.obs_size, e, e),
+        "node_free_code": _init_mlp2(keys[4], d, e, e),
+        "edge_free_code": _init_mlp2(keys[5], d * 2, e, e),
+        "goal_encoder": jax.random.uniform(keys[6], (e,), jnp.float32),
+        "encoder": _init_linear(keys[7], e * 4, e),
+        "decoder": _init_linear(keys[8], e * 2, e),
+        "process": {
+            "lin_0": _init_mlp2(keys[9], e * 5, e, e),
+            "lin_1": _init_linear(keys[10], e * 2, e),
+        },
+        "policy": {
+            "0": _init_linear(keys[11], e * 3, e),
+            "2": _init_linear(keys[12], e, e),
+            "4": _init_linear(keys[13], e, 1, bias=False),
+        },
+    }
+    for mod, base in (("node_attentions", 14), ("edge_attentions", 17)):
+        params[mod] = {}
+        for i in range(3):
+            k = jax.random.split(keys[base + i], 10)
+            params[mod][str(i)] = {
+                "attention": {
+                    "key": _init_linear(k[0], e, e, bias=False),
+                    "query": _init_linear(k[1], e, e, bias=False),
+                    "value": _init_linear(k[2], e, e, bias=False),
+                    "layer_norm": {"weight": jnp.ones(e), "bias": jnp.zeros(e)},
+                },
+                "map_feed": {
+                    "w_1": _init_linear(k[3], e, e),
+                    "w_2": _init_linear(k[4], e, e),
+                    "layer_norm": {"weight": jnp.ones(e), "bias": jnp.zeros(e)},
+                },
+                "obs_feed": {
+                    "w_1": _init_linear(k[5], e, e),
+                    "w_2": _init_linear(k[6], e, e),
+                    "layer_norm": {"weight": jnp.ones(e), "bias": jnp.zeros(e)},
+                },
+            }
+    return params
+
+
 class ExplorerConfig(NamedTuple):
     workspace_size: int
     config_size: int

@@ -1,0 +1,104 @@
+"""Generate PRM training pickles (data/pkl/*_prm_*.pkl).
+
+Equivalent of the reference's dataset generation main (reference:
+algorithm/dijkstra.py:79-108): per problem, sample 100-400 uniform
+configurations, build a kNN(5) graph, eagerly collision-check every edge
+(batched in one device call here), and pickle
+(points, neighbors, edge_cost, edge_index, edge_free) tuples.
+
+The reference's training pickles are not shipped; this regenerates them for
+all env families. Usage: python tools/generate_prm.py <maze2|maze3|kuka7|ur5|snake7|kuka13|kuka14> [n]
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from collections import defaultdict
+from pathlib import Path
+from time import time
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from gnn_motion_planning_tpu.config import HostRNG  # noqa: E402
+from gnn_motion_planning_tpu.graphs.knn_host import knn_graph_numpy  # noqa: E402
+
+INFINITY = float("inf")
+
+OUT_NAMES = {
+    "maze2": ("maze_prm_4000.pkl", 3000),
+    "maze3": ("maze_prm_3.pkl", 3000),
+    "kuka7": ("kuka_prm_4000.pkl", 3000),
+    "ur5": ("ur5_prm_3000.pkl", 3000),
+    "snake7": ("snake_prm_3000.pkl", 3000),
+    "kuka13": ("kuka_prm_13.pkl", 3000),
+    "kuka14": ("kuka_prm_14.pkl", 3000),
+}
+
+
+def construct_graph_batched(env, points):
+    """Reference construct_graph with one fused device call for all edges."""
+
+    edge_index = knn_graph_numpy(points, k=5, loop=True)
+    a = points[edge_index[:, 0]]
+    b = points[edge_index[:, 1]]
+    if hasattr(env, "_batch_edge_free"):
+        free, counts = env._batch_edge_free(a, b)
+        env.collision_check_count += int(counts.sum())
+    else:
+        free = np.array(
+            [env._edge_fp(x, y) for x, y in zip(a, b)], bool
+        )
+    cost = np.linalg.norm(b - a, axis=-1)
+
+    edge_cost = defaultdict(list)
+    neighbors = defaultdict(list)
+    edge_free = []
+    for i, edge in enumerate(edge_index):
+        s, d = int(edge[0]), int(edge[1])
+        edge_cost[d].append(float(cost[i]) if free[i] else INFINITY)
+        edge_free.append(bool(free[i]))
+        neighbors[d].append(s)
+    return edge_cost, neighbors, edge_index, edge_free
+
+
+def main(env_name: str, n_problems=None, seed: int = 1234):
+    from gnn_motion_planning_tpu.api.registry import str2env
+
+    out_name, default_n = OUT_NAMES[env_name]
+    n_problems = n_problems or default_n
+    lookup = {"maze2": "maze2easy", "maze3": "maze3"}
+    env, _ = str2env(lookup.get(env_name, env_name))
+    rng = HostRNG(seed)
+    env.rng = rng
+
+    data = []
+    t0 = time()
+    for index in range(n_problems):
+        env.init_new_problem(index % len(getattr(env, "problems", None) or env.order))
+        points = np.asarray(env.uniform_sample(n=int(rng.randint(100, 400))))
+        edge_cost, neighbors, edge_index, edge_free = construct_graph_batched(env, points)
+        # reference pickle schema (dijkstra.py:97): points first
+        data.append((points, neighbors, edge_cost, edge_index, edge_free))
+        if (index + 1) % 50 == 0:
+            print(
+                f"{index + 1}/{n_problems} ({(time() - t0) / (index + 1):.2f}s/problem)",
+                flush=True,
+            )
+            out = REPO / "assets" / "data" / "pkl" / out_name
+            out.parent.mkdir(parents=True, exist_ok=True)
+            with open(out, "wb") as f:
+                pickle.dump(data, f)
+
+    out = REPO / "assets" / "data" / "pkl" / out_name
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "wb") as f:
+        pickle.dump(data, f)
+    print(f"wrote {len(data)} graphs -> {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else None)
