@@ -78,6 +78,10 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
     problems = []
     t0 = time()
     attempts = 0
+    # Only the evaluation split (indexes >= 2000, reference str2env.py:14-38)
+    # needs a solvability proof + demo path; earlier indexes supply obstacle
+    # scenes for PRM/trainer data generation only.
+    verify_from = max(n_problems - 1000, 0)
     while len(problems) < n_problems:
         attempts += 1
         obstacles = sample_obstacles(rng)
@@ -90,30 +94,32 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
             continue
         env.set_problem_data(obstacles, start, goal)
 
-        # fast solvability proof: GNN explorer, short BIT* fallback, else
-        # discard (dataset keeps only provably solvable problems, like the
-        # reference sets whose every entry carries a demo path)
-        path = None
-        try:
-            result = explore(
-                env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
-            )
-            if result["success"]:
-                path = [np.asarray(p, np.float64) for p in result["path"]]
-        except Exception:
+        if len(problems) < verify_from:
+            problems.append([obstacles, start, goal, [start, goal]])
+        else:
+            # solvability proof: GNN explorer, short BIT* fallback, else
+            # discard (the reference sets likewise carry planner demo paths)
             path = None
-        if path is None:
-            bit = BITStar(env, batch_size=100, T=400)
             try:
-                _, _, _, cost, _, _ = bit.plan(
-                    float("inf"), refine_time_budget=0, time_budget=15
+                result = explore(
+                    env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
                 )
+                if result["success"]:
+                    path = [np.asarray(p, np.float64) for p in result["path"]]
             except Exception:
-                continue
-            if not np.isfinite(cost):
-                continue
-            path = [np.asarray(p) for p in bit.get_best_path()]
-        problems.append([obstacles, start, goal, path])
+                path = None
+            if path is None:
+                bit = BITStar(env, batch_size=100, T=400)
+                try:
+                    _, _, _, cost, _, _ = bit.plan(
+                        float("inf"), refine_time_budget=0, time_budget=15
+                    )
+                except Exception:
+                    continue
+                if not np.isfinite(cost):
+                    continue
+                path = [np.asarray(p) for p in bit.get_best_path()]
+            problems.append([obstacles, start, goal, path])
         if len(problems) % 5 == 0:
             rate = (time() - t0) / len(problems)
             print(
