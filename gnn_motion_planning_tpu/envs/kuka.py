@@ -182,6 +182,14 @@ class KukaEnv:
         self.episode_i = 0
 
         self._batch_state_free = None  # lazily jitted batch oracle
+        self._native = None
+        if type(self) is KukaEnv:  # single-chain fast path only
+            try:
+                from gnn_motion_planning_tpu.utils.geomcore import GeomChain
+
+                self._native = GeomChain(self.chain, self.RRT_EPS)
+            except Exception:
+                self._native = None
 
     def set_problem_data(self, obstacles, start, goal, path=None):
         """Load a problem directly (dataset generation / ad-hoc scenes)."""
@@ -194,6 +202,7 @@ class KukaEnv:
         self.goal_state = np.asarray(goal)
         self.path = path
         self._scene = make_box_scene(obstacles)
+        self._set_native_scene()
 
     def __str__(self):
         return "kuka" + str(self.config_dim)
@@ -213,7 +222,14 @@ class KukaEnv:
         self.goal_state = np.asarray(goal)
         self.path = path
         self._scene = make_box_scene(obstacles)
+        self._set_native_scene()
         return self.get_problem()
+
+    def _set_native_scene(self):
+        if getattr(self, "_native", None) is not None:
+            centers = np.stack([_coerce_vec3(b) for _, b in self.obstacles]) if self.obstacles else np.zeros((0, 3))
+            halfs = np.stack([_coerce_vec3(h) for h, _ in self.obstacles]) if self.obstacles else np.zeros((0, 3))
+            self._native.set_scene(centers, halfs)
 
     def device_scene(self) -> BoxScene:
         return self._scene
@@ -452,8 +468,13 @@ class KukaEnv:
     def _point_in_free_space(self, state) -> bool:
         if not self._valid_state(state):
             return False
-        self.collision_check_count += 1
-        free = bool(self._batch_free(np.asarray(state)[None])[0])
+        if getattr(self, "_native", None) is not None:
+            free_arr, _ = self._native.states_free(np.asarray(state)[None])
+            self.collision_check_count += 1
+            free = bool(free_arr[0])
+        else:
+            self.collision_check_count += 1
+            free = bool(self._batch_free(np.asarray(state)[None])[0])
         if not free:
             self.collision_point = state
         return free
@@ -468,14 +489,17 @@ class KukaEnv:
         new_state = np.asarray(new_state)
         if not self._valid_state(state) or not self._valid_state(new_state):
             return False
-        self._ensure_batch_fns()
-        free, count = self._edge_fp_dev(
-            self._scene,
-            jnp.asarray(state, jnp.float32),
-            jnp.asarray(new_state, jnp.float32),
-        )
-        self.collision_check_count += int(count)
-        free = bool(free)
+        if getattr(self, "_native", None) is not None:
+            free, count = self._native.edge_free(state, new_state)
+        else:
+            self._ensure_batch_fns()
+            free, count = self._edge_fp_dev(
+                self._scene,
+                jnp.asarray(state, jnp.float32),
+                jnp.asarray(new_state, jnp.float32),
+            )
+            free, count = bool(free), int(count)
+        self.collision_check_count += count
         if not free:
             self.collision_point = new_state
         return free
