@@ -287,7 +287,9 @@ class BITStar:
                     (math.log(q) / q) ** (1.0 / self.dimension)
                 )
 
-            while self.bestVertexQueueValue() <= self.bestEdgeQueueValue():
+            while self.vertex_queue and (
+                self.bestVertexQueueValue() <= self.bestEdgeQueueValue()
+            ):
                 _, point = heapq.heappop(self.vertex_queue)
                 self.expand_vertex(point)
             if not self.edge_queue:
