@@ -43,6 +43,11 @@ class _Planner(NamedTuple):
     model_fwd: object
     smoother_fwd: object
     edges_fn: object
+    round_vfn: object  # vmapped over problem lanes
+    project_vfn: object
+    model_vfwd: object
+    smoother_vfwd: object
+    edges_vfn: object
 
 
 def get_planner(env) -> _Planner:
@@ -51,7 +56,27 @@ def get_planner(env) -> _Planner:
     cached = getattr(env, "_gmp_planner", None)
     if cached is not None:
         return cached
+    from gnn_motion_planning_tpu.planners.gnn_explore import (
+        make_explore_round_batch,
+    )
+    from gnn_motion_planning_tpu.planners.gnn_smooth import make_projection_batch
+
     kernels = env.kernels()
+
+    def _model_v(params, cfg, v, nv, goal, src, dst, ea, obstacles, obs_mask, loop):
+        return jax.vmap(
+            lambda *a: explorer_forward(params, cfg, *a, loop=loop)
+        )(v, nv, goal, src, dst, ea, obstacles, obs_mask)
+
+    def _smoother_v(params, cfg, path, mask, env_nodes, env_valid, n_free,
+                    bs, bd, ba, loop):
+        return jax.vmap(
+            lambda *a: smoother_forward(params, cfg, *a, loop=loop)
+        )(path, mask, env_nodes, env_valid, n_free, bs, bd, ba)
+
+    def _edges_v(v, valid, n_free, k1):
+        return jax.vmap(lambda vv, nv: build_rgg_edges(vv, nv, n_free, k1))(v, valid)
+
     planner = _Planner(
         round_fn=make_explore_round(kernels, float(env.RRT_EPS)),
         project_fn=make_projection(kernels, float(env.RRT_EPS)),
@@ -60,6 +85,11 @@ def get_planner(env) -> _Planner:
             smoother_forward, static_argnames=("cfg", "loop", "knn_k")
         ),
         edges_fn=jax.jit(build_rgg_edges, static_argnames=("n_free", "k1")),
+        round_vfn=make_explore_round_batch(kernels, float(env.RRT_EPS)),
+        project_vfn=make_projection_batch(kernels, float(env.RRT_EPS)),
+        model_vfwd=jax.jit(_model_v, static_argnames=("cfg", "loop")),
+        smoother_vfwd=jax.jit(_smoother_v, static_argnames=("cfg", "loop")),
+        edges_vfn=jax.jit(_edges_v, static_argnames=("n_free", "k1")),
     )
     env._gmp_planner = planner
     return planner
@@ -284,6 +314,270 @@ def explore(
         "smooth_path": smooth_path,
         "v": v_np,
     }
+
+
+def explore_batch(
+    env,
+    model,
+    model_s,
+    indexes,
+    smooth: bool = True,
+    batch: int = 500,
+    t_max: int = 500,
+    k: int = 30,
+    loop: int = 5,
+    lanes: int = 25,
+):
+    """Plan a group of problems simultaneously — the TPU-native serving
+    shape. One vmapped device call runs the model forward and the greedy
+    search for all lanes; per-lane semantics (masks, collision counts) stay
+    exactly those of :func:`explore`'s first round. Lanes that fail their
+    first round fall back to the scalar multi-round path.
+
+    Returns a list of per-problem result dicts (same payload as explore).
+    """
+
+    planner = get_planner(env)
+    d = env.config_dim
+    indexes = list(indexes)
+    results = {}
+
+    for g0 in range(0, len(indexes), lanes):
+        group = indexes[g0 : g0 + lanes]
+        B = len(group)
+
+        scenes, vs, valids, coll_masks, goals, obs_t, obs_m = [], [], [], [], [], [], []
+        sample_counts = []
+        t0 = time()
+        for idx in group:
+            env.init_new_problem(int(idx))
+            c0 = env.collision_check_count
+            free, collided = env.sample_n_points(batch, need_negative=True)
+            collided = list(collided)[: len(free)]
+            free = [np.asarray(env.init_state, np.float64)] + [
+                np.asarray(env.goal_state, np.float64)
+            ] + [np.asarray(f) for f in free]
+            sample_counts.append(env.collision_check_count - c0)
+
+            F = len(free)
+            C = len(collided)
+            N = 2 * F
+            v_np = np.zeros((N, d), np.float32)
+            v_np[:F] = np.asarray(free, np.float32)
+            if C:
+                v_np[F : F + C] = np.asarray(collided, np.float32)
+            node_valid = np.zeros(N, bool)
+            node_valid[: F + C] = True
+            coll = np.zeros(N, bool)
+            coll[F : F + C] = True
+            ot, om = env.obs_tokens()
+
+            scenes.append(env.device_scene())
+            vs.append(v_np)
+            valids.append(node_valid)
+            coll_masks.append(coll)
+            goals.append(np.asarray(env.goal_state, np.float32))
+            obs_t.append(ot)
+            obs_m.append(om)
+
+        F = batch + 2
+        N = 2 * F
+        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        v_b = jnp.asarray(np.stack(vs))
+        valid_b = jnp.asarray(np.stack(valids))
+        coll_b = jnp.asarray(np.stack(coll_masks))
+        goal_b = jnp.asarray(np.stack(goals))
+        obs_tb = jnp.asarray(np.stack(obs_t))
+        obs_mb = jnp.asarray(np.stack(obs_m))
+
+        edges = planner.edges_vfn(v_b, valid_b, n_free=F, k1=k_scaled(k, F))
+        policy = planner.model_vfwd(
+            model.params, model.cfg, v_b, valid_b, goal_b,
+            edges.src, edges.dst, edges.alive, obs_tb, obs_mb, loop=loop,
+        )
+
+        explored0 = np.zeros((B, N), bool)
+        explored0[:, 0] = True
+        res = planner.round_vfn(
+            scene_b,
+            v_b,
+            goal_b,
+            policy,
+            edges,
+            coll_b,
+            valid_b,
+            jnp.asarray(explored0),
+            jnp.zeros((B, N), jnp.int32),
+            jnp.zeros((B, N), jnp.float32),
+            jnp.zeros((B, N, N), bool),
+        )
+        jax.block_until_ready(res.success)
+        group_time = time() - t0
+
+        success_b = np.asarray(res.success)
+        prev_b = np.asarray(res.prev)
+        node_b = np.asarray(res.success_node)
+        checks_b = np.asarray(res.n_checks)
+        explored_b = np.asarray(res.explored)
+
+        # smoothing for the successful lanes, batched
+        paths = {}
+        for li, idx in enumerate(group):
+            if success_b[li]:
+                path_idx = backtrack(prev_b[li], int(node_b[li]))
+                paths[li] = [vs[li][i] for i in path_idx]
+
+        smooth_counts = {li: 0 for li in paths}
+        smooth_paths = {}
+        t_sm = time()
+        if smooth and paths and getattr(model_s, "params", None) is not None:
+            l_pad = pad_to_bucket(max(len(p) for p in paths.values()))
+            lanes_idx = sorted(paths)
+            P = len(lanes_idx)
+            path_arr = np.zeros((P, l_pad, d), np.float32)
+            mask_arr = np.zeros((P, l_pad), bool)
+            bs_l, bd_l, ba_l = [], [], []
+            envn = np.zeros((P, 1000, d), np.float32)
+            envv = np.zeros((P, 1000), bool)
+            nfree = np.zeros(P, np.int32)
+            for pi, li in enumerate(lanes_idx):
+                p = paths[li]
+                L = len(p)
+                path_arr[pi, :L] = np.asarray(p, np.float32)
+                path_arr[pi, L:] = path_arr[pi, L - 1]
+                mask_arr[pi, :L] = True
+                bs, bd, ba = base_chain_edges(l_pad, L)
+                bs_l.append(bs)
+                bd_l.append(bd)
+                ba_l.append(ba)
+                # env nodes: free prefix (truncated to 500) + collided block
+                fr = vs[li][:F][: 500]
+                envn[pi, : len(fr)] = fr
+                envv[pi, : len(fr)] = True
+                co = vs[li][F : F + 500][coll_masks[li][F : F + 500]]
+                envn[pi, 500 : 500 + len(co)] = co
+                envv[pi, 500 : 500 + len(co)] = True
+                nfree[pi] = len(fr)
+
+            path_dev = jnp.asarray(path_arr)
+            scene_s = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[scenes[li] for li in lanes_idx]
+            )
+            for _ in range(5):
+                proposal = planner.smoother_vfwd(
+                    model_s.params, model_s.cfg, path_dev, jnp.asarray(mask_arr),
+                    jnp.asarray(envn), jnp.asarray(envv), jnp.asarray(nfree),
+                    jnp.asarray(np.stack(bs_l)), jnp.asarray(np.stack(bd_l)),
+                    jnp.asarray(np.stack(ba_l)), loop=1,
+                )
+                n_paths = jnp.asarray(mask_arr.sum(axis=1).astype(np.int32))
+                path_dev, cnts = planner.project_vfn(
+                    scene_s, path_dev, proposal, n_paths
+                )
+                cnts = np.asarray(cnts)
+                for pi, li in enumerate(lanes_idx):
+                    smooth_counts[li] += int(cnts[pi])
+            out_paths = np.asarray(path_dev)
+            for pi, li in enumerate(lanes_idx):
+                L = len(paths[li])
+                smooth_paths[li] = [out_paths[pi, i] for i in range(L)]
+        smooth_time = time() - t_sm
+
+        for li, idx in enumerate(group):
+            if success_b[li]:
+                results[idx] = {
+                    "c_explore": int(sample_counts[li] + checks_b[li]),
+                    "c_smooth": int(smooth_counts.get(li, 0)),
+                    "explored": list(np.nonzero(explored_b[li])[0]),
+                    "forward": group_time / B,
+                    "total": group_time / B + smooth_time / max(len(paths), 1),
+                    "total_explore": group_time / B,
+                    "success": True,
+                    "path": paths[li],
+                    "smooth_path": smooth_paths.get(li, paths[li] if smooth else []),
+                }
+
+    # scalar fallback for lanes that failed their single batched round
+    for idx in indexes:
+        if idx not in results:
+            env.init_new_problem(int(idx))
+            results[idx] = explore(
+                env, model, model_s, smooth=smooth, batch=batch, t_max=t_max, k=k,
+                loop=loop,
+            )
+    return [results[idx] for idx in indexes]
+
+
+def eval_gnn_batched(
+    str_,
+    seed,
+    env,
+    indexes,
+    model=None,
+    model_s=None,
+    lanes: int = 25,
+    smooth: bool = True,
+    batch: int = 500,
+    t_max: int = 500,
+    k: int = 30,
+    **kwargs,
+):
+    """Batched-lane benchmark sweep: same metrics as eval_gnn, but problems
+    are planned `lanes` at a time in single fused device calls."""
+
+    from gnn_motion_planning_tpu.api.registry import str2name
+
+    rng = set_random_seed(seed)
+    env.rng = rng
+    if model is None:
+        _, model, _, _, _ = str2name(str_)
+    if model_s is None:
+        _, _, _, model_s, _ = str2name(str_)
+
+    t0 = time()
+    results = explore_batch(
+        env, model, model_s, indexes, smooth=smooth, batch=batch,
+        t_max=t_max, k=k, lanes=lanes,
+    )
+    wall = time() - t0
+
+    solutions = [
+        (
+            r["success"],
+            path_cost(r["path"]),
+            path_cost(r["smooth_path"]),
+            r["c_explore"],
+            r["c_smooth"],
+            r["total"],
+            r["total_explore"],
+        )
+        for r in results
+    ]
+    n_success = sum(s[0] for s in solutions)
+    collision = float(np.mean([s[3] + s[4] for s in solutions]))
+    collision_explore = float(np.mean([s[3] for s in solutions]))
+    solution_cost = (
+        float(sum(s[2] for s in solutions if s[0])) / n_success if n_success else float("nan")
+    )
+
+    print("success rate:", n_success)
+    print("collision check: %.2f" % collision)
+    print("collision check explore: %.2f" % collision_explore)
+    print("running time: %.2f" % (wall / max(n_success, 1)))
+    print("path cost: %.2f" % solution_cost)
+    print("total time: %.2f" % wall)
+    print("")
+    return (
+        n_success,
+        collision,
+        wall / max(n_success, 1),
+        solution_cost,
+        wall,
+        [r["path"] for r in results],
+        [r["smooth_path"] for r in results],
+        collision_explore,
+        wall,
+    )
 
 
 def eval_gnn(

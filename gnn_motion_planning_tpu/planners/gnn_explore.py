@@ -63,10 +63,9 @@ class _Carry(NamedTuple):
     n_pops: jnp.ndarray
 
 
-def make_explore_round(kernels: EnvKernels, rrt_eps: float):
-    """Build the jitted per-round greedy search for one env family."""
+def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
+    """Unjitted per-round greedy search (vmap-able over problem lanes)."""
 
-    @functools.partial(jax.jit, static_argnames=())
     def explore_round(
         scene,
         v,  # (N, d)
@@ -96,6 +95,14 @@ def make_explore_round(kernels: EnvKernels, rrt_eps: float):
             return ~c.done
 
         def body(c: _Carry) -> _Carry:
+            # under vmap the loop runs until the slowest lane finishes;
+            # finished lanes must freeze
+            new = _body_step(c)
+            return jax.tree.map(
+                lambda old_v, new_v: jnp.where(c.done, old_v, new_v), c, new
+            )
+
+        def _body_step(c: _Carry) -> _Carry:
             eligible = c.alive & c.explored[:, None]
             masked = jnp.where(eligible, scores, _NEG)
             flat = jnp.argmax(masked)
@@ -175,6 +182,23 @@ def make_explore_round(kernels: EnvKernels, rrt_eps: float):
         )
 
     return explore_round
+
+
+def make_explore_round(kernels: EnvKernels, rrt_eps: float):
+    """Jitted single-problem per-round greedy search."""
+
+    return jax.jit(make_explore_round_core(kernels, rrt_eps))
+
+
+def make_explore_round_batch(kernels: EnvKernels, rrt_eps: float):
+    """Jitted multi-lane per-round search: vmap over a batch of problems.
+
+    One device call plans a whole lane group simultaneously — the TPU-native
+    serving shape (the while_loop runs until the slowest lane finishes; all
+    masks/counts stay per-lane exact)."""
+
+    core = make_explore_round_core(kernels, rrt_eps)
+    return jax.jit(jax.vmap(core))
 
 
 def backtrack(prev, node: int):

@@ -27,10 +27,9 @@ class _PCarry(NamedTuple):
     converged: jnp.ndarray
 
 
-def make_projection(kernels: EnvKernels, rrt_eps: float):
-    """Jitted proposed_path_smootherv2 (smoother.py:194-216)."""
+def make_projection_core(kernels: EnvKernels, rrt_eps: float):
+    """Unjitted proposed_path_smootherv2 (smoother.py:194-216), vmap-able."""
 
-    @jax.jit
     def project(scene, old_path, new_path, n_path):
         L = old_path.shape[0]
         idx = jnp.arange(L)
@@ -42,6 +41,13 @@ def make_projection(kernels: EnvKernels, rrt_eps: float):
             return (c.k < K) & ~c.converged
 
         def body(c: _PCarry) -> _PCarry:
+            new = _body_step(c)
+            frozen = (c.k >= K) | c.converged  # freeze finished lanes (vmap)
+            return jax.tree.map(
+                lambda old_v, new_v: jnp.where(frozen, old_v, new_v), c, new
+            )
+
+        def _body_step(c: _PCarry) -> _PCarry:
             path = c.path
 
             def scan_body(carry, i):
@@ -92,6 +98,18 @@ def make_projection(kernels: EnvKernels, rrt_eps: float):
         return out.path, out.count
 
     return project
+
+
+def make_projection(kernels: EnvKernels, rrt_eps: float):
+    """Jitted single-path projection."""
+
+    return jax.jit(make_projection_core(kernels, rrt_eps))
+
+
+def make_projection_batch(kernels: EnvKernels, rrt_eps: float):
+    """Jitted multi-lane projection (vmap over paths + scenes)."""
+
+    return jax.jit(jax.vmap(make_projection_core(kernels, rrt_eps)))
 
 
 def pad_to_bucket(n: int, step: int = 16) -> int:

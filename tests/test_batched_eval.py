@@ -1,0 +1,20 @@
+"""Batched-lane eval must reproduce scalar eval metrics exactly."""
+
+import numpy as np
+
+from gnn_motion_planning_tpu.api import str2env
+from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn, eval_gnn_batched
+
+
+def test_batched_matches_scalar():
+    env, _ = str2env("maze2easy")
+    a = eval_gnn("maze2easy", 1234, env, np.arange(2000, 2004), batch=100, t_max=100)
+    env2, _ = str2env("maze2easy")
+    b = eval_gnn_batched(
+        "maze2easy", 1234, env2, np.arange(2000, 2004), lanes=4, batch=100, t_max=100
+    )
+    assert a[0] == b[0]  # success count
+    np.testing.assert_allclose(a[1], b[1])  # collision checks
+    np.testing.assert_allclose(a[7], b[7])  # explore-only checks
+    if a[0]:
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-6)  # path cost
