@@ -69,7 +69,17 @@ def load_params(relpath: str) -> dict:
 
     from gnn_motion_planning_tpu.utils.assets import asset_path
 
-    tree = load_torch_checkpoint(asset_path(relpath))
+    try:
+        src = asset_path(relpath)
+    except FileNotFoundError:
+        # the reference names a maze3 smoother 'smooth_3d_attv3.pt' but only
+        # ships 'smooth_3d_att.pt' (str2name.py:25 vs data/weights/);
+        # fall back to the shipped variant
+        if relpath.endswith("_attv3.pt"):
+            src = asset_path(relpath.replace("_attv3.pt", "_att.pt"))
+        else:
+            raise
+    tree = load_torch_checkpoint(src)
     os.makedirs(cache.parent, exist_ok=True)
     np.savez(cache, **_flatten(tree))
     return tree
