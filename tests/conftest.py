@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# importing torch (the checkpoint converter does) re-registers the TPU
+# plugin and defeats JAX_PLATFORMS; pin the platform through jax.config too
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 from pathlib import Path
 
