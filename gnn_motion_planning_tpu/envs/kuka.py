@@ -372,6 +372,25 @@ class KukaEnv:
                 break
         self.init_state, self.goal_state = init, goal
 
+    def aug_path(self):
+        """RRT_EPS-resolution densification of the stored demo path
+        (reference kuka_env.py:118-131)."""
+
+        result = [self.init_state]
+        path = np.array(self.path)
+        agent = np.array(path[0])
+        next_index = 1
+        while next_index < len(path):
+            if np.linalg.norm(path[next_index] - agent) <= self.RRT_EPS:
+                agent = path[next_index]
+                next_index += 1
+            else:
+                agent = agent + self.RRT_EPS * (path[next_index] - agent) / np.linalg.norm(
+                    path[next_index] - agent
+                )
+            result.append(np.array(agent))
+        return result
+
     # -- metric geometry -----------------------------------------------------
 
     def distance(self, from_state, to_state):
