@@ -57,7 +57,7 @@ def sample_obstacles(rng):
     return obstacles
 
 
-def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
+def generate(env_name: str, n_problems: int, seed: int, out_path: Path, verify_n: int = 1000):
     from gnn_motion_planning_tpu.envs import Kuka2Env, KukaEnv
     from gnn_motion_planning_tpu.planners.bit_star import BITStar
 
@@ -76,12 +76,17 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
     rng = HostRNG(seed)
     env.rng = rng
     problems = []
+    if out_path.exists():  # resume from the periodic checkpoint
+        with open(out_path, "rb") as f:
+            problems = pickle.load(f)
+        print(f"resuming with {len(problems)} existing problems", flush=True)
     t0 = time()
     attempts = 0
-    # Only the evaluation split (indexes >= 2000, reference str2env.py:14-38)
-    # needs a solvability proof + demo path; earlier indexes supply obstacle
-    # scenes for PRM/trainer data generation only.
+    # Only the head of the evaluation split (indexes >= 2000, reference
+    # str2env.py:14-38) gets a solvability proof + demo path; earlier indexes
+    # supply obstacle scenes for PRM/trainer data generation only.
     verify_from = max(n_problems - 1000, 0)
+    verify_to = verify_from + verify_n
     while len(problems) < n_problems:
         attempts += 1
         obstacles = sample_obstacles(rng)
@@ -94,7 +99,7 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
             continue
         env.set_problem_data(obstacles, start, goal)
 
-        if len(problems) < verify_from:
+        if not (verify_from <= len(problems) < verify_to):
             problems.append([obstacles, start, goal, [start, goal]])
         else:
             # solvability proof: GNN explorer, short BIT* fallback, else
@@ -135,7 +140,7 @@ def generate(env_name: str, n_problems: int, seed: int, out_path: Path):
     print(f"wrote {len(problems)} problems -> {out_path}")
 
 
-def generate_snake(n_problems: int, seed: int, out_path: Path):
+def generate_snake(n_problems: int, seed: int, out_path: Path, verify_n: int = 1000):
     """snakes_15_2_3000.npz schema: maps (N,15,15), init_states (N,7),
     goal_states (N,7). Maps reuse the shipped 15x15 maze distribution."""
 
@@ -155,6 +160,8 @@ def generate_snake(n_problems: int, seed: int, out_path: Path):
     maps, inits, goals = [], [], []
     t0 = time()
     attempts = 0
+    verify_from = max(n_problems - 1000, 0)
+    verify_to = verify_from + verify_n
     while len(maps) < n_problems:
         attempts += 1
         occ = maze_maps[attempts % len(maze_maps)]
@@ -165,15 +172,16 @@ def generate_snake(n_problems: int, seed: int, out_path: Path):
         start, goal = np.asarray(pts[0]), np.asarray(pts[1])
         if np.linalg.norm(start - goal) < env.RRT_EPS:
             continue
-        env.set_problem_data(occ, start, goal)
-        try:
-            result = explore(
-                env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
-            )
-        except Exception:
-            continue
-        if not result["success"]:
-            continue
+        if verify_from <= len(maps) < verify_to:
+            env.set_problem_data(occ, start, goal)
+            try:
+                result = explore(
+                    env, model, model_s, smooth=True, batch=300, t_max=600, smoother="none"
+                )
+            except Exception:
+                continue
+            if not result["success"]:
+                continue
         maps.append(occ)
         inits.append(start)
         goals.append(goal)
@@ -200,9 +208,14 @@ if __name__ == "__main__":
     name = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20240816
+    verify_n = 1000
+    for a in sys.argv[2:]:
+        if a.startswith("--verify="):
+            verify_n = int(a.split("=")[1])
     if name == "snake7":
-        generate_snake(n, seed, REPO / "assets" / "maze_files" / "snakes_15_2_3000.npz")
+        generate_snake(n, seed, REPO / "assets" / "maze_files" / "snakes_15_2_3000.npz",
+                       verify_n=verify_n)
     else:
         fname = {"kuka13": "kukas_13_3000.pkl", "kuka14": "kukas_14_3000.pkl"}[name]
         out = REPO / "assets" / "maze_files" / fname
-        generate(name, n, seed, out)
+        generate(name, n, seed, out, verify_n=verify_n)
