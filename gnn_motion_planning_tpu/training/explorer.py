@@ -189,6 +189,11 @@ def train_explorer(
     with open(asset_path(data_path) if not str(data_path).startswith("/") else data_path, "rb") as f:
         graphs = pickle.load(f)
 
+    # one global padded shape: every (shape, loop) pair compiles a separate
+    # XLA program, and dozens of bucket variants exhaust compile memory
+    global_n_pad = _pad_bucket(max(len(g[0]) for g in graphs[:epoch]))
+    global_e_pad = _pad_bucket(max(len(g[3]) for g in graphs[:epoch]), 512)
+
     def _fwd(p, v, nv, goal, src, dst, ea, obstacles, obs_mask, loop):
         return explorer_forward(
             p, cfg, v, nv, goal, src, dst, ea, obstacles, obs_mask, loop=loop
@@ -239,8 +244,8 @@ def train_explorer(
             if valid_node.sum() <= 1:
                 continue
 
-            n_pad = _pad_bucket(n)
-            e_pad = _pad_bucket(len(ei), 512)
+            n_pad = global_n_pad
+            e_pad = global_e_pad
             v = np.zeros((n_pad, points.shape[1]), np.float32)
             v[:n] = points
             node_valid = np.zeros(n_pad, bool)
@@ -253,6 +258,7 @@ def train_explorer(
             e_alive[: len(ei)] = True
 
             cur_loop = int(rng.randint(1, loop))
+            cur_loop = max(1, 2 * (cur_loop // 2))  # quantize: halves compile variants
             policy = np.asarray(
                 fwd(
                     params,
