@@ -23,6 +23,9 @@ _LAZY = {
 
 __all__ = list(_LAZY)
 
+# reference environment/__init__.py:8
+strs = ["maze2", "kuka7", "snake7", "kuka13", "ur5", "kuka14"]
+
 
 def __getattr__(name):
     if name in _LAZY:
