@@ -256,17 +256,20 @@ def explore(
         )
         success = bool(res.success)
         env.collision_check_count += int(res.n_checks)
-        state = (
-            np.asarray(res.explored),
-            np.asarray(res.prev),
-            np.asarray(res.costs),
-            np.asarray(res.edge_dead),
-        )
 
         if success:
+            state = (np.asarray(res.explored), np.asarray(res.prev), None, None)
             idx_path = backtrack(np.asarray(res.prev), int(res.success_node))
             path = [v_np[i] for i in idx_path]
         else:
+            # the (N, N) edge-dead mask is only needed to seed a resample
+            # round; skip the device->host copy on the success path
+            state = (
+                np.asarray(res.explored),
+                np.asarray(res.prev),
+                np.asarray(res.costs),
+                np.asarray(res.edge_dead),
+            )
             if not smooth:
                 return []
             if (n_batch + len(free) - 2) > t_max:
