@@ -48,6 +48,8 @@ class _Planner(NamedTuple):
     model_vfwd: object
     smoother_vfwd: object
     edges_vfn: object
+    fused_round: object  # edges + model + greedy search in ONE device call
+    fused_smooth: object  # all 5 smoothing iterations in ONE device call
 
 
 def get_planner(env) -> _Planner:
@@ -77,6 +79,45 @@ def get_planner(env) -> _Planner:
     def _edges_v(v, valid, n_free, k1):
         return jax.vmap(lambda vv, nv: build_rgg_edges(vv, nv, n_free, k1))(v, valid)
 
+    from gnn_motion_planning_tpu.planners.gnn_explore import make_explore_round_core
+    from gnn_motion_planning_tpu.planners.gnn_smooth import make_projection_core
+
+    round_core = make_explore_round_core(kernels, float(env.RRT_EPS))
+    project_core = make_projection_core(kernels, float(env.RRT_EPS))
+
+    def _fused_round(
+        params, cfg, scene, v, node_valid, goal, obstacles, obs_mask,
+        collided_mask, explored, prev, costs, edge_dead, n_free, k1, loop,
+    ):
+        """One device call per planning round: graph build + model forward +
+        compiled greedy search (cuts ~3 host-device round trips to 1)."""
+
+        edges = build_rgg_edges(v, node_valid, n_free, k1)
+        policy = explorer_forward(
+            params, cfg, v, node_valid, goal, edges.src, edges.dst, edges.alive,
+            obstacles, obs_mask, loop=loop,
+        )
+        return round_core(
+            scene, v, goal, policy, edges, collided_mask, node_valid,
+            explored, prev, costs, edge_dead,
+        )
+
+    def _fused_smooth(
+        params, cfg, scene, path, path_mask, env_nodes, env_valid, n_free_s,
+        base_src, base_dst, base_alive, n_path, iters, loop,
+    ):
+        """All smoothing iterations (model proposal + projection) fused."""
+
+        count = jnp.int32(0)
+        for _ in range(iters):
+            proposal = smoother_forward(
+                params, cfg, path, path_mask, env_nodes, env_valid, n_free_s,
+                base_src, base_dst, base_alive, loop=loop,
+            )
+            path, cnt = project_core(scene, path, proposal, n_path)
+            count = count + cnt
+        return path, count
+
     planner = _Planner(
         round_fn=make_explore_round(kernels, float(env.RRT_EPS)),
         project_fn=make_projection(kernels, float(env.RRT_EPS)),
@@ -90,6 +131,12 @@ def get_planner(env) -> _Planner:
         model_vfwd=jax.jit(_model_v, static_argnames=("cfg", "loop")),
         smoother_vfwd=jax.jit(_smoother_v, static_argnames=("cfg", "loop")),
         edges_vfn=jax.jit(_edges_v, static_argnames=("n_free", "k1")),
+        fused_round=jax.jit(
+            _fused_round, static_argnames=("cfg", "n_free", "k1", "loop")
+        ),
+        fused_smooth=jax.jit(
+            _fused_smooth, static_argnames=("cfg", "iters", "loop")
+        ),
     )
     env._gmp_planner = planner
     return planner
@@ -130,25 +177,23 @@ def model_smooth(model_s, free, collided, old_path, env, iter: int = 5):
     path_mask = np.zeros(l_pad, bool)
     path_mask[:L] = True
 
-    path_dev = jnp.asarray(path_arr)
-    for _ in range(iter):
-        proposal = planner.smoother_fwd(
-            model_s.params,
-            model_s.cfg,
-            path_dev,
-            jnp.asarray(path_mask),
-            jnp.asarray(env_nodes),
-            jnp.asarray(env_valid),
-            n_free,
-            jnp.asarray(base_src),
-            jnp.asarray(base_dst),
-            jnp.asarray(base_alive),
-            loop=1,
-        )
-        path_dev, cnt = planner.project_fn(
-            scene, path_dev, proposal, jnp.int32(L)
-        )
-        env.collision_check_count += int(cnt)
+    path_dev, cnt = planner.fused_smooth(
+        model_s.params,
+        model_s.cfg,
+        scene,
+        jnp.asarray(path_arr),
+        jnp.asarray(path_mask),
+        jnp.asarray(env_nodes),
+        jnp.asarray(env_valid),
+        n_free,
+        jnp.asarray(base_src),
+        jnp.asarray(base_dst),
+        jnp.asarray(base_alive),
+        jnp.int32(L),
+        iters=iter,
+        loop=1,
+    )
+    env.collision_check_count += int(cnt)
 
     out = np.asarray(path_dev)[:L]
     return [out[i] for i in range(L)]
@@ -204,26 +249,6 @@ def explore(
         collided_mask[F : F + C] = True
 
         v_dev = jnp.asarray(v_np)
-        edges = planner.edges_fn(
-            v_dev, jnp.asarray(node_valid), n_free=F, k1=k_scaled(k, F)
-        )
-
-        t1 = time()
-        policy = planner.model_fwd(
-            model.params,
-            model.cfg,
-            v_dev,
-            jnp.asarray(node_valid),
-            goal,
-            edges.src,
-            edges.dst,
-            edges.alive,
-            jnp.asarray(obstacles),
-            jnp.asarray(obs_mask),
-            loop=loop,
-        )
-        policy.block_until_ready()
-        forward += time() - t1
 
         if state is None:
             explored = np.zeros(N, bool)
@@ -241,19 +266,27 @@ def explore(
                 edge_dead, ((0, N - n_old), (0, N - n_old))
             )
 
-        res = planner.round_fn(
+        t1 = time()
+        res = planner.fused_round(
+            model.params,
+            model.cfg,
             scene,
             v_dev,
-            goal,
-            policy,
-            edges,
-            jnp.asarray(collided_mask),
             jnp.asarray(node_valid),
+            goal,
+            jnp.asarray(obstacles),
+            jnp.asarray(obs_mask),
+            jnp.asarray(collided_mask),
             jnp.asarray(explored),
             jnp.asarray(prev),
             jnp.asarray(costs),
             jnp.asarray(edge_dead),
+            n_free=F,
+            k1=k_scaled(k, F),
+            loop=loop,
         )
+        jax.block_until_ready(res.success)
+        forward += time() - t1
         success = bool(res.success)
         env.collision_check_count += int(res.n_checks)
 

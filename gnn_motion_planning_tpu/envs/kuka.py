@@ -340,7 +340,7 @@ class KukaEnv:
 
         need = n
         while need > 0:
-            chunk = max(2 * need, 64)
+            chunk = max(2 * need, 512)  # few buckets -> few compiles
             state = rng.get_state()
             draws = rng.uniform(pr[:, 0], pr[:, 1], (chunk, self.config_dim))
             ok = self._batch_free(draws)
