@@ -49,7 +49,6 @@ def seg_box_sq_dist(
         [zeros, jnp.ones_like(zeros), jnp.clip(t_a, 0.0, 1.0), jnp.clip(t_b, 0.0, 1.0)],
         axis=-1,
     )  # (..., 8)
-    cands = jnp.sort(cands, axis=-1)
 
     def f(t):
         # t: (..., K); u/v/half: (..., 3)
@@ -57,23 +56,31 @@ def seg_box_sq_dist(
         d = jnp.maximum(jnp.abs(p) - half[..., None, :], 0.0)
         return jnp.sum(d * d, axis=-1)
 
-    f_cands = f(cands)  # (..., 8)
+    # f is convex, so f' is monotone non-decreasing; bracket the minimiser
+    # between the candidates with f' < 0 and f' > 0 (no sort — sorts are the
+    # slow path on TPU and this runs ~1e5x per planner pop)
+    w = u[..., None, :] + cands[..., :, None] * v[..., None, :]  # (..., 8, 3)
+    excess = jnp.maximum(jnp.abs(w) - half[..., None, :], 0.0)
+    g = jnp.sum(2.0 * jnp.sign(w) * excess * v[..., None, :], axis=-1)  # (..., 8)
+    t_lo = jnp.max(jnp.where(g < 0, cands, 0.0), axis=-1)
+    t_hi = jnp.min(jnp.where(g > 0, cands, 1.0), axis=-1)
+    t_hi = jnp.maximum(t_hi, t_lo)
 
-    # per-interval quadratic vertex with the interval's active set
-    c0 = cands[..., :-1]
-    c1 = cands[..., 1:]
-    mid = 0.5 * (c0 + c1)  # (..., 7)
-    w = u[..., None, :] + mid[..., :, None] * v[..., None, :]  # (..., 7, 3)
-    active = jnp.abs(w) > half[..., None, :]
-    s = jnp.sign(w)
-    alpha = jnp.where(active, s * v[..., None, :], 0.0)
-    beta = jnp.where(active, s * u[..., None, :] - half[..., None, :], 0.0)
+    # active set at the bracket midpoint -> closed-form quadratic vertex
+    mid = 0.5 * (t_lo + t_hi)
+    wm = u + mid[..., None] * v
+    active = jnp.abs(wm) > half
+    s = jnp.sign(wm)
+    alpha = jnp.where(active, s * v, 0.0)
+    beta = jnp.where(active, s * u - half, 0.0)
     denom = jnp.sum(alpha * alpha, axis=-1)
     t_star = -jnp.sum(alpha * beta, axis=-1) / jnp.maximum(denom, eps)
-    t_star = jnp.clip(t_star, c0, c1)
-    f_star = f(t_star)  # (..., 7)
+    t_star = jnp.clip(t_star, t_lo, t_hi)
 
-    return jnp.minimum(jnp.min(f_cands, axis=-1), jnp.min(f_star, axis=-1))
+    f_all = jnp.concatenate(
+        [f(cands), f(jnp.stack([t_lo, t_hi, t_star], axis=-1))], axis=-1
+    )
+    return jnp.min(f_all, axis=-1)
 
 
 def seg_seg_sq_dist(p0, p1, q0, q1, eps: float = 1e-12):
