@@ -169,7 +169,9 @@ def model_smooth(model_s, free, collided, old_path, env, iter: int = 5):
     n_free = jnp.int32(len(free_used))
 
     L = len(old_path)
-    l_pad = pad_to_bucket(L)
+    # coarse bucket: each (L_pad) variant compiles a separate fused-smooth
+    # program; paths are rarely >64 waypoints
+    l_pad = pad_to_bucket(L, step=64)
     base_src, base_dst, base_alive = base_chain_edges(l_pad, L)
     path_arr = np.zeros((l_pad, d), np.float32)
     path_arr[:L] = np.asarray(old_path, np.float32)
