@@ -34,8 +34,43 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         str2env,
     )
 
+    def gnn_percentiles(env, idx):
+        """Scalar GNN with per-problem wall-time percentiles (p50/p95)."""
+
+        from gnn_motion_planning_tpu.api import explore, path_cost, str2name
+        from gnn_motion_planning_tpu.config import set_random_seed
+
+        _, model, _, model_s, _ = str2name(name)
+        env.rng = set_random_seed(1234)
+        # warm compiles outside the timed region
+        env.init_new_problem(int(idx[0]))
+        explore(env, model, model_s, smooth=True)
+        times, succ, costs, checks = [], 0, [], []
+        for i in idx:
+            env.init_new_problem(int(i))
+            t0 = time()
+            r = explore(env, model, model_s, smooth=True)
+            times.append(time() - t0)
+            succ += r["success"]
+            checks.append(r["c_explore"] + r["c_smooth"])
+            if r["success"]:
+                costs.append(path_cost(r["smooth_path"]))
+        out = (
+            succ,
+            float(np.mean(checks)),
+            float(np.median(times)),
+            float(np.mean(costs)) if costs else float("nan"),
+            float(np.sum(times)),
+        )
+        print(
+            f"p50 {np.median(times):.3f}s p95 {np.percentile(times, 95):.3f}s "
+            f"mean {np.mean(times):.3f}s"
+        )
+        return out
+
     table = {
         "GNN": lambda env, idx: eval_gnn(name, 1234, env, idx, use_tqdm=False),
+        "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(name, 1234, env, idx, lanes=25),
         "BIT*": lambda env, idx: eval_bit(name, 1234, env, idx),
         "LazySP": lambda env, idx: eval_lazysp(name, 1234, env, idx),
