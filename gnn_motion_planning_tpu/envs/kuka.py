@@ -446,19 +446,30 @@ class KukaEnv:
             self._batch_edge_dev = batch_edges
 
     def _batch_edge_free(self, a: np.ndarray, b: np.ndarray):
-        """Batched edge oracle: (free (n,), counts (n,)), bucketed shapes."""
+        """Batched edge oracle: (free (n,), counts (n,)).
+
+        Chunked to <=256 edges per device call: an edge check materialises
+        (k_max, caps, boxes) interpolation work, and high-k_max envs
+        (ur5/snake, eps=0.1) exceed HBM at larger chunks."""
 
         self._ensure_batch_fns()
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         n = len(a)
-        bucket = max(64, 1 << (n - 1).bit_length())
-        if bucket != n:
-            pad = np.broadcast_to(a[:1], (bucket - n,) + a.shape[1:])
-            a = np.concatenate([a, pad])
-            b = np.concatenate([b, np.broadcast_to(b[:1], pad.shape)])
-        free, cnt = self._batch_edge_dev(self._scene, jnp.asarray(a), jnp.asarray(b))
-        return np.asarray(free)[:n], np.asarray(cnt)[:n]
+        CH = 256
+        free = np.zeros(n, bool)
+        cnt = np.zeros(n, np.int32)
+        for s0 in range(0, n, CH):
+            aa, bb = a[s0 : s0 + CH], b[s0 : s0 + CH]
+            m = len(aa)
+            if m < CH:
+                pad = np.broadcast_to(aa[:1], (CH - m,) + aa.shape[1:])
+                aa = np.concatenate([aa, pad])
+                bb = np.concatenate([bb, np.broadcast_to(bb[:1], pad.shape)])
+            fr, ct = self._batch_edge_dev(self._scene, jnp.asarray(aa), jnp.asarray(bb))
+            free[s0 : s0 + m] = np.asarray(fr)[:m]
+            cnt[s0 : s0 + m] = np.asarray(ct)[:m]
+        return free, cnt
 
     def _batch_free(self, qs: np.ndarray) -> np.ndarray:
         """Batched point oracle; inputs are padded to power-of-two buckets so
