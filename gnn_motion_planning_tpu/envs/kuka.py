@@ -13,7 +13,6 @@ and the fixed-step edge rule K = int(d / RRT_EPS) with k = 0..K-1
 
 from __future__ import annotations
 
-import functools
 import pickle
 from typing import NamedTuple, Optional
 
@@ -538,12 +537,6 @@ class KukaEnv:
         raise NotImplementedError(
             "GUI rendering is PyBullet-specific; use utils/plot.py projections"
         )
-
-
-@functools.lru_cache(maxsize=None)
-def _kuka_kernels_cached(key):
-    chain, rrt_eps, k_max = key
-    return make_chain_kernels(chain, rrt_eps, k_max)
 
 
 def _kuka_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKernels:
