@@ -67,9 +67,9 @@ def eval_all(
             results = []
             for seed in seeds:
                 print(env_name, method_name, seed)
-                result = method(
-                    str=str(env), seed=seed, env=env, indexes=indexes, use_tqdm=True
-                )
+                # positional: eval_gnn names its first arg str_, baselines
+                # name it str — keyword passing crashed the GNN method
+                result = method(str(env), seed, env, indexes, use_tqdm=True)
                 results.append(result)
                 result_total[env_name, method_name, str(seed)] = result
                 pickle.dump(result_total, open(out_path, "wb"))

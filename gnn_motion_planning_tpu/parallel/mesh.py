@@ -16,8 +16,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    """Build a 1-axis mesh over exactly ``n_devices`` devices.
+
+    Raises if fewer devices exist than requested — a silently-truncated mesh
+    makes an 8-way sharding test "pass" on one device, proving nothing.
+    """
+
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devs)} JAX devices "
+                f"exist ({devs[0].platform}); for host testing set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} JAX_PLATFORMS=cpu before importing jax"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
