@@ -23,9 +23,7 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 # Checkpoint numerical parity with the torch reference requires true-f32
-# matmuls: TPU matmuls default to bf16 inputs, which perturbs policy logits
-# by ~3e-3 and flips near-tie argmaxes. All matmuls in this framework are
-# small (embed 32-128, <=2k nodes), so 6-pass f32 costs nothing measurable.
-import jax as _jax
-
-_jax.config.update("jax_default_matmul_precision", "highest")
+# matmuls on the parity-sensitive paths (model linears/attention, FK, kNN
+# Gram). Those call sites pass precision=HIGHEST explicitly (models/mlp.py
+# PARITY_PRECISION, envs/kinematics.py, graphs/knn.py); everything else
+# keeps default MXU precision.

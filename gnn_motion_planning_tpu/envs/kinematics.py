@@ -18,6 +18,8 @@ import numpy as np
 
 from gnn_motion_planning_tpu.envs.urdf import RobotModel, rpy_to_matrix
 
+_FK_PRECISION = jax.lax.Precision.HIGHEST
+
 
 class ChainParams(NamedTuple):
     """Static kinematic-tree arrays. J joints (topo order), L link frames
@@ -109,8 +111,15 @@ def fk_link_frames(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans
         qi = chain.q_index[j]
         angle = jnp.where(qi >= 0, q[jnp.maximum(qi, 0)], 0.0)
         Rq = _axis_angle(chain.axis[j], angle)
-        R_new = R @ chain.origin_rot[j] @ Rq
-        t_new = R @ chain.origin_trans[j] + t
+        # FK must stay true-f32: bf16 link frames shift capsule endpoints by
+        # ~1e-3 m, enough to flip near-surface collision verdicts vs the
+        # calibrated host oracle
+        R_new = jnp.matmul(
+            jnp.matmul(R, chain.origin_rot[j], precision=_FK_PRECISION),
+            Rq,
+            precision=_FK_PRECISION,
+        )
+        t_new = jnp.matmul(R, chain.origin_trans[j], precision=_FK_PRECISION) + t
         return (Rs.at[j + 1].set(R_new), ts.at[j + 1].set(t_new)), None
 
     (Rs, ts), _ = jax.lax.scan(step, (Rs0, ts0), jnp.arange(J))
@@ -123,8 +132,8 @@ def capsules_world(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans
     Rs, ts = fk_link_frames(chain, q, base_rot, base_trans)
     R = Rs[chain.cap_link]  # (C, 3, 3)
     t = ts[chain.cap_link]  # (C, 3)
-    p0 = jnp.einsum("cij,cj->ci", R, chain.cap_p0) + t
-    p1 = jnp.einsum("cij,cj->ci", R, chain.cap_p1) + t
+    p0 = jnp.einsum("cij,cj->ci", R, chain.cap_p0, precision=_FK_PRECISION) + t
+    p1 = jnp.einsum("cij,cj->ci", R, chain.cap_p1, precision=_FK_PRECISION) + t
     return p0, p1, chain.cap_r
 
 

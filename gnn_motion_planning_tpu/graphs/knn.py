@@ -38,7 +38,9 @@ def pairwise_sq_dists(v: jnp.ndarray) -> jnp.ndarray:
     """Squared Euclidean distances, (N, N). MXU path via a single matmul."""
 
     sq = jnp.sum(v * v, axis=-1)
-    g = v @ v.T
+    # true-f32: bf16 Gram entries flip near-tie k-th-neighbour choices and
+    # change the edge set (metric drift vs the reference graph)
+    g = jnp.matmul(v, v.T, precision=jax.lax.Precision.HIGHEST)
     d = sq[:, None] + sq[None, :] - 2.0 * g
     return jnp.maximum(d, 0.0)
 

@@ -116,7 +116,9 @@ def _attention(p, map_code, obs_code, obs_mask, temperature):
     map_key = linear(p["key"], map_code)
     obs_key = linear(p["key"], obs_code)
 
-    obs_att = map_query @ obs_key.T  # (N, M)
+    from gnn_motion_planning_tpu.models.mlp import PARITY_PRECISION
+
+    obs_att = jnp.matmul(map_query, obs_key.T, precision=PARITY_PRECISION)  # (N, M)
     self_att = jnp.sum(map_query * map_key, axis=-1)  # (N,)
     logits = jnp.concatenate([self_att[:, None], obs_att], axis=-1) / temperature
     mask = jnp.concatenate(
@@ -128,7 +130,9 @@ def _attention(p, map_code, obs_code, obs_mask, temperature):
     attn = attn * mask
     attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
 
-    new = attn[:, :1] * map_value + attn[:, 1:] @ obs_value
+    new = attn[:, :1] * map_value + jnp.matmul(
+        attn[:, 1:], obs_value, precision=PARITY_PRECISION
+    )
     return layer_norm(p["layer_norm"], new + map_code, eps=1e-6)
 
 

@@ -11,12 +11,20 @@ models (reference: model.py, model_smoother.py).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+# Checkpoint numerical parity with the torch reference requires true-f32
+# matmuls on TPU: bf16-input matmuls perturb policy logits by ~3e-3 and flip
+# near-tie argmaxes. Scoped here (the parity-sensitive model path) instead of
+# a process-global jax_default_matmul_precision, so the collision/FK/search
+# kernels keep default MXU precision.
+PARITY_PRECISION = lax.Precision.HIGHEST
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     """torch nn.Linear: weight (out, in), optional bias."""
 
-    y = x @ p["weight"].T
+    y = jnp.matmul(x, p["weight"].T, precision=PARITY_PRECISION)
     if "bias" in p:
         y = y + p["bias"]
     return y

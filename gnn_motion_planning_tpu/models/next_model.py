@@ -51,7 +51,14 @@ def _conv_seq(p, x, keys, nd):
 
 
 def _lstm_cell(p, x, h, c):
-    gates = x @ p["weight_ih"].T + p["bias_ih"] + h @ p["weight_hh"].T + p["bias_hh"]
+    from gnn_motion_planning_tpu.models.mlp import PARITY_PRECISION
+
+    gates = (
+        jnp.matmul(x, p["weight_ih"].T, precision=PARITY_PRECISION)
+        + p["bias_ih"]
+        + jnp.matmul(h, p["weight_hh"].T, precision=PARITY_PRECISION)
+        + p["bias_hh"]
+    )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
     g = jnp.tanh(g)
