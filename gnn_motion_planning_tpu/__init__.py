@@ -27,3 +27,13 @@ __version__ = "0.1.0"
 # Gram). Those call sites pass precision=HIGHEST explicitly (models/mlp.py
 # PARITY_PRECISION, envs/kinematics.py, graphs/knn.py); everything else
 # keeps default MXU precision.
+
+# Honor JAX_PLATFORMS=cpu reliably: importing torch (the checkpoint
+# converter does) re-registers the experimental axon TPU plugin, which
+# overrides the env var unless the platform is also pinned via jax.config.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
