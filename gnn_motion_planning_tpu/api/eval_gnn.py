@@ -320,6 +320,12 @@ def explore(
     c1 = env.collision_check_count
     t1 = time()
     if success and smooth:
+        if smoother == "model" and getattr(model_s, "params", None) is None:
+            # no loadable smoother checkpoint for this env (maze3: the
+            # reference names smooth_3d_attv3.pt but ships only the legacy
+            # smooth_3d_att.pt, which its own ModelSmoother cannot load —
+            # str2name.py:25 vs data/weights/) — smooth with the oracle
+            smoother = "oracle"
         if smoother == "model":
             smooth_path = model_smooth(model_s, free, collided, path, env)
         elif smoother == "oracle":

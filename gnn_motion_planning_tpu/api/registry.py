@@ -119,6 +119,20 @@ def _spec_key(name: str) -> str:
     return name
 
 
+def _load_smoother_params(ckpt: str):
+    """Smoother params, or None when only a legacy-architecture checkpoint
+    exists. The reference names the maze3 smoother smooth_3d_attv3.pt but
+    ships only smooth_3d_att.pt (str2name.py:25 vs data/weights/), an older
+    lstm+graph-attention model its current ModelSmoother cannot load; maze3
+    therefore smooths with the oracle smoother (eval_gnn.explore falls back
+    when params is None)."""
+
+    params = load_params(ckpt)
+    if "0" not in params.get("node_code", {}):
+        return None
+    return params
+
+
 def str2models(name: str, use_obstacle: bool = True, scale: float = 1.0):
     """(explorer_model, smoother_model) without constructing the env —
     useful when the env's dataset is being (re)generated."""
@@ -132,7 +146,7 @@ def str2models(name: str, use_obstacle: bool = True, scale: float = 1.0):
         cfg=ExplorerConfig(use_obstacles=use_obstacle, **spec["explorer"]),
     )
     smoother = SmootherModel(
-        params=load_params(spec["smoother_ckpt"]),
+        params=_load_smoother_params(spec["smoother_ckpt"]),
         cfg=SmootherConfig(scale=scale, **spec["smoother"]),
     )
     return explorer, smoother
@@ -177,7 +191,8 @@ def str2name(name: str, get_data: bool = False, use_obstacle: bool = True, load:
         params=load_params(explorer_ckpt) if load else None, cfg=explorer_cfg
     )
     smoother = SmootherModel(
-        params=load_params(spec["smoother_ckpt"]) if load else None, cfg=smoother_cfg
+        params=_load_smoother_params(spec["smoother_ckpt"]) if load else None,
+        cfg=smoother_cfg,
     )
 
     if get_data:

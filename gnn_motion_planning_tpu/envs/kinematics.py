@@ -88,6 +88,27 @@ def _axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@jax.jit
+def _link_translations_jit(chain: "ChainParams", q: jnp.ndarray, base_trans: jnp.ndarray):
+    _, ts = fk_link_frames(chain, q, base_trans=base_trans)
+    return ts
+
+
+def link_translations(chain: "ChainParams", q, base_trans=None) -> np.ndarray:
+    """World translations of every link frame, via a cached jitted FK.
+
+    fk_link_frames called eagerly retraces its scan on every call (~100 ms);
+    per-state callers (NEXT's get_robot_points augmentation) need this
+    compiled path.
+    """
+
+    if base_trans is None:
+        base_trans = jnp.zeros(3, jnp.float32)
+    return np.asarray(
+        _link_translations_jit(chain, jnp.asarray(q, jnp.float32), jnp.asarray(base_trans))
+    )
+
+
 def fk_link_frames(chain: ChainParams, q: jnp.ndarray, base_rot=None, base_trans=None):
     """World (R, t) for every link frame of the kinematic tree.
 

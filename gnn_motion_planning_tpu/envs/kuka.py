@@ -300,8 +300,10 @@ class KukaEnv:
     def get_robot_points(self, config, end_point: bool = True):
         """FK workspace points with the z-0.4 shift (kuka_env.py:168-180)."""
 
-        Rs, ts = fk_link_frames(self.chain, jnp.asarray(config, jnp.float32))
-        pts = np.asarray(ts)[1:]  # child link frames = PyBullet link states
+        from gnn_motion_planning_tpu.envs.kinematics import link_translations
+
+        ts = link_translations(self.chain, config)
+        pts = ts[1:]  # child link frames = PyBullet link states
         pts = pts - np.array([0.0, 0.0, 0.4])
         if end_point:
             return tuple(pts[self.kukaEndEffectorIndex])

@@ -163,17 +163,11 @@ class Kuka2Env(KukaEnv):
         return cache[key]
 
     def get_robot_points(self, config, end_point: bool = True):
-        from gnn_motion_planning_tpu.envs.kinematics import fk_link_frames
+        from gnn_motion_planning_tpu.envs.kinematics import link_translations
 
         dof = self.config_dim // 2
-        _, t1 = fk_link_frames(
-            self.chain, jnp.asarray(config[:dof], jnp.float32), base_trans=self.base1
-        )
-        _, t2 = fk_link_frames(
-            self.chain, jnp.asarray(config[dof:], jnp.float32), base_trans=self.base2
-        )
-        pts1 = np.asarray(t1)[1:]
-        pts2 = np.asarray(t2)[1:]
+        pts1 = link_translations(self.chain, config[:dof], base_trans=self.base1)[1:]
+        pts2 = link_translations(self.chain, config[dof:], base_trans=self.base2)[1:]
         if end_point:
             # kuka_2arm_env.py:348-353: both end effectors, no z shift
             return list(pts1[self.kukaEndEffectorIndex]) + list(

@@ -245,8 +245,9 @@ class UR5Env(KukaEnv):
         return cache[key]
 
     def get_robot_points(self, config, end_point: bool = True):
-        _, ts = fk_link_frames(self.chain, jnp.asarray(config, jnp.float32))
-        pts = np.asarray(ts) - np.array([0.0, 0.0, 0.4])
+        from gnn_motion_planning_tpu.envs.kinematics import link_translations
+
+        pts = link_translations(self.chain, config) - np.array([0.0, 0.0, 0.4])
         if end_point:
             return tuple(pts[self.tip_index])
         return [tuple(p) for p in pts[1 : self.tip_index + 1]]

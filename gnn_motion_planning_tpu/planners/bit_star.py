@@ -319,13 +319,19 @@ class BITStar:
                                 self.vertex_queue,
                                 (self.get_point_value(bestEdge[1]), bestEdge[1]),
                             )
+                        # prune queued edges into the improved vertex that can
+                        # no longer better it: keep (v, x) only while
+                        # g(v) + c_hat(v, x) < g(x). The reference's filter
+                        # (bit_star.py:320-322) self-compares g(v)+h < g(v),
+                        # which is always false and silently drops every
+                        # queued edge into x; this is the intended semantics.
                         self.edge_queue = [
                             item
                             for item in self.edge_queue
                             if item[1][1] != bestEdge[1]
                             or self.get_g_score(item[1][0])
                             + self.heuristic_cost(item[1][0], item[1][1])
-                            < self.get_g_score(item[1][0])
+                            < self.get_g_score(bestEdge[1])
                         ]
                         heapq.heapify(self.edge_queue)
             else:

@@ -162,6 +162,7 @@ def train_explorer(
     batch_size: int = 8,
     seed: int = 1234,
     log_every: int = 10,
+    log_dir: str | None = None,
 ):
     """DAgger-style explorer training (reference train_explorer.py:96-211).
 
@@ -203,9 +204,20 @@ def train_explorer(
 
     steps = {}
 
+    # DP mesh size must divide the batch: largest power-of-two divisor of
+    # batch_size that the host's devices can provide
+    n_dev = len(jax.devices())
+    mesh_n = 1
+    while mesh_n * 2 <= min(n_dev, batch_size) and batch_size % (mesh_n * 2) == 0:
+        mesh_n *= 2
+
     def get_step(cur_loop):
         if cur_loop not in steps:
-            step, optimizer, mesh = make_train_step(cfg, loop=cur_loop)
+            from gnn_motion_planning_tpu.parallel.mesh import make_mesh
+
+            step, optimizer, mesh = make_train_step(
+                cfg, mesh=make_mesh(mesh_n), loop=cur_loop
+            )
             steps[cur_loop] = (step, optimizer)
         return steps[cur_loop]
 
@@ -213,6 +225,10 @@ def train_explorer(
 
     optimizer = _optax.adam(1e-3, eps=1e-8)
     opt_state = optimizer.init(params)
+
+    from gnn_motion_planning_tpu.utils.metrics import ScalarLogger
+
+    logger = ScalarLogger(log_dir) if log_dir else None
 
     obstacles, obs_mask = None, None
     batch_buf = []
@@ -342,6 +358,9 @@ def train_explorer(
                 params, opt_state, loss = step_fn(params, opt_state, ex)
                 losses.append(float(loss))
                 T += 1
+                if logger is not None:
+                    # reference tag: train_explorer.py:191 add_scalar('train/loss')
+                    logger.add_scalar("train/loss", losses[-1], T)
                 if T % log_every == 0:
                     print(
                         f"step {T}: policy loss {np.mean(losses[-log_every:]):.3f}",

@@ -59,7 +59,7 @@ def make_next_loss(cfg: NextConfig):
 
 
 def train_next(str_name, T: int = 1000, n_problems: int = 2000, seed: int = 1234,
-               model_path=None, train_every: int = 200):
+               model_path=None, train_every: int = 200, log_dir=None):
     """Full NEXT training loop (reference train_next.py:71-120)."""
 
     from gnn_motion_planning_tpu.api.eval_baselines import str2next
@@ -88,6 +88,10 @@ def train_next(str_name, T: int = 1000, n_problems: int = 2000, seed: int = 1234
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    from gnn_motion_planning_tpu.utils.metrics import ScalarLogger
+
+    logger = ScalarLogger(log_dir) if log_dir else None
 
     replay = []
     explore_eps = 1.0
@@ -158,6 +162,8 @@ def train_next(str_name, T: int = 1000, n_problems: int = 2000, seed: int = 1234
                 )
                 params, opt_state, loss = step(params, opt_state, batch)
                 losses.append(float(loss))
+                if logger is not None:
+                    logger.add_scalar("train/loss", losses[-1], len(losses))
             np.savez(model_path, **_flatten(jax.tree.map(np.asarray, params)))
 
     np.savez(model_path, **_flatten(jax.tree.map(np.asarray, params)))

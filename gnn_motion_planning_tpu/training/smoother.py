@@ -81,6 +81,7 @@ def train_smoother(
     train_iter: int = 20,
     seed: int = 1234,
     batch_size: int = 8,
+    log_dir: str | None = None,
 ):
     """Full smoother training loop (reference train_smoother.py:67-133)."""
 
@@ -178,6 +179,10 @@ def train_smoother(
             step_fns[key] = step
         return step_fns[key]
 
+    from gnn_motion_planning_tpu.utils.metrics import ScalarLogger
+
+    logger = ScalarLogger(log_dir) if log_dir else None
+
     prev_loss = np.inf
     for iter_i in range(train_iter):
         indexes = rng.choice(len(replay), size=len(replay), replace=False)
@@ -195,6 +200,9 @@ def train_smoother(
             losses.append(float(loss))
         mean_loss = float(np.mean(losses)) if losses else np.inf
         losses_out.append(mean_loss)
+        if logger is not None:
+            logger.add_scalar("train/loss", mean_loss, iter_i)
+            logger.add_scalar("train/lr", lr, iter_i)
         # ReduceLROnPlateau(patience=0)
         if mean_loss >= prev_loss:
             lr *= 0.1
