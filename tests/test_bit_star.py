@@ -58,6 +58,9 @@ def test_edge_queue_prune_semantics():
     bit.g_scores[near] = 0.9
     bit.g_scores[far] = 0.9
     bit.g_scores[other] = 0.0
+    # get_g_score treats parentless vertices as unreached (INF); register one
+    for v in (x, near, far, other):
+        bit.edges[v] = bit.start
 
     import heapq
 
