@@ -44,6 +44,7 @@ class _Planner(NamedTuple):
     smoother_fwd: object
     edges_fn: object
     round_vfn: object  # vmapped over problem lanes
+    round_vchunk: object  # vmapped + pop-bounded (lane compaction)
     project_vfn: object
     model_vfwd: object
     smoother_vfwd: object
@@ -60,6 +61,7 @@ def get_planner(env) -> _Planner:
         return cached
     from gnn_motion_planning_tpu.planners.gnn_explore import (
         make_explore_round_batch,
+        make_explore_round_batch_chunked,
     )
     from gnn_motion_planning_tpu.planners.gnn_smooth import make_projection_batch
 
@@ -127,6 +129,9 @@ def get_planner(env) -> _Planner:
         ),
         edges_fn=jax.jit(build_rgg_edges, static_argnames=("n_free", "k1")),
         round_vfn=make_explore_round_batch(kernels, float(env.RRT_EPS)),
+        round_vchunk=make_explore_round_batch_chunked(
+            kernels, float(env.RRT_EPS)
+        ),
         project_vfn=make_projection_batch(kernels, float(env.RRT_EPS)),
         model_vfwd=jax.jit(_model_v, static_argnames=("cfg", "loop")),
         smoother_vfwd=jax.jit(_smoother_v, static_argnames=("cfg", "loop")),
@@ -371,12 +376,15 @@ def explore_batch(
     k: int = 30,
     loop: int = 5,
     lanes: int = 25,
+    chunk: int = 64,
 ):
     """Plan a group of problems simultaneously — the TPU-native serving
-    shape. One vmapped device call runs the model forward and the greedy
-    search for all lanes; per-lane semantics (masks, collision counts) stay
-    exactly those of :func:`explore`'s first round. Lanes that fail their
-    first round fall back to the scalar multi-round path.
+    shape. One vmapped device call runs the model forward; the greedy
+    search runs in `chunk`-pop device calls with lane compaction between
+    them (finished lanes drop out, survivors re-batch into power-of-two
+    buckets). Per-lane semantics (masks, collision counts) stay exactly
+    those of :func:`explore`'s first round. Lanes that fail their first
+    round fall back to the scalar multi-round path.
 
     Returns a list of per-problem result dicts (same payload as explore).
     """
@@ -442,27 +450,57 @@ def explore_batch(
 
         explored0 = np.zeros((B, N), bool)
         explored0[:, 0] = True
-        res = planner.round_vfn(
-            scene_b,
-            v_b,
-            goal_b,
-            policy,
-            edges,
-            coll_b,
-            valid_b,
+
+        # lane-compaction search: each device call advances every lane by at
+        # most `chunk` pops; finished lanes drop out and the survivors are
+        # re-batched into power-of-two buckets, so the group never pays
+        # straggler iterations at full width (the kuka14 regression)
+        pool = np.arange(B)  # original lane id of each stacked row
+        dummy = np.zeros(B, bool)  # padded duplicate rows (ignored)
+        st = (
+            scene_b, v_b, goal_b, policy, edges, coll_b, valid_b,
             jnp.asarray(explored0),
             jnp.zeros((B, N), jnp.int32),
             jnp.zeros((B, N), jnp.float32),
             jnp.zeros((B, N, N), bool),
         )
-        jax.block_until_ready(res.success)
-        group_time = time() - t0
+        success_b = np.zeros(B, bool)
+        checks_b = np.zeros(B, np.int64)
+        node_b = np.full(B, -1, np.int32)
+        prev_b = np.zeros((B, N), np.int32)
+        explored_b = np.zeros((B, N), bool)
 
-        success_b = np.asarray(res.success)
-        prev_b = np.asarray(res.prev)
-        node_b = np.asarray(res.success_node)
-        checks_b = np.asarray(res.n_checks)
-        explored_b = np.asarray(res.explored)
+        while True:
+            res = planner.round_vchunk(*st, jnp.asarray(dummy), chunk=chunk)
+            done = np.asarray(res.done)
+            live = ~dummy
+            checks_np = np.asarray(res.n_checks)
+            np.add.at(checks_b, pool[live], checks_np[live])
+            fin = np.nonzero(done & live)[0]
+            if fin.size:
+                success_b[pool[fin]] = np.asarray(res.success)[fin]
+                node_b[pool[fin]] = np.asarray(res.success_node)[fin]
+                prev_b[pool[fin]] = np.asarray(res.prev[jnp.asarray(fin)])
+                explored_b[pool[fin]] = np.asarray(res.explored[jnp.asarray(fin)])
+            keep = np.nonzero(~done & live)[0]
+            if keep.size == 0:
+                break
+            bucket = 1 << int(np.ceil(np.log2(keep.size)))
+            bucket = min(bucket, len(pool))
+            pad = bucket - keep.size
+            sel = np.concatenate([keep, np.repeat(keep[:1], pad)])
+            dummy = np.zeros(bucket, bool)
+            dummy[keep.size :] = True
+            pool = pool[sel]
+            sel_dev = jnp.asarray(sel.astype(np.int32))
+            st = jax.tree.map(
+                lambda x: x[sel_dev],
+                (
+                    st[0], st[1], st[2], st[3], st[4], st[5], st[6],
+                    res.explored, res.prev, res.costs, res.edge_dead,
+                ),
+            )
+        group_time = time() - t0
 
         # smoothing for the successful lanes, batched
         paths = {}
@@ -564,6 +602,7 @@ def eval_gnn_batched(
     batch: int = 500,
     t_max: int = 500,
     k: int = 30,
+    chunk: int = 64,
     **kwargs,
 ):
     """Batched-lane benchmark sweep: same metrics as eval_gnn, but problems
@@ -581,7 +620,7 @@ def eval_gnn_batched(
     t0 = time()
     results = explore_batch(
         env, model, model_s, indexes, smooth=smooth, batch=batch,
-        t_max=t_max, k=k, lanes=lanes,
+        t_max=t_max, k=k, lanes=lanes, chunk=chunk,
     )
     wall = time() - t0
 

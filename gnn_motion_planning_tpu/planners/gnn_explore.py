@@ -48,6 +48,8 @@ class ExploreResult(NamedTuple):
     n_checks: jnp.ndarray  # int32 collision checks consumed on device
     edge_dead: jnp.ndarray  # (N, N) bool — edges popped so far
     n_pops: jnp.ndarray  # int32 — loop iterations (frontier pops)
+    done: jnp.ndarray  # bool — search finished (success or frontier dry);
+    #                    False means paused at a max_pops chunk boundary
 
 
 class _Carry(NamedTuple):
@@ -61,10 +63,22 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
     edge_dead: jnp.ndarray
     n_pops: jnp.ndarray
+    it: jnp.ndarray  # iterations this call (chunk budget accounting)
 
 
-def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
-    """Unjitted per-round greedy search (vmap-able over problem lanes)."""
+def make_explore_round_core(
+    kernels: EnvKernels, rrt_eps: float, max_pops: int | None = None
+):
+    """Unjitted per-round greedy search (vmap-able over problem lanes).
+
+    With ``max_pops`` set, the call pops at most that many edges and then
+    pauses, returning ``done=False`` for unfinished lanes; the returned
+    (explored, prev, costs, edge_dead) state resumes the search exactly on
+    the next call. This is the lane-compaction primitive: under vmap the
+    while_loop runs lockstep until the slowest lane finishes, so the host
+    re-batches only the unfinished lanes between bounded chunks instead of
+    paying straggler iterations across the whole group.
+    """
 
     def explore_round(
         scene,
@@ -78,6 +92,7 @@ def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
         prev_init,  # (N,) int32
         costs_init,  # (N,) float32
         edge_dead_init,  # (N, N) bool (accumulated across rounds)
+        done_init=None,  # bool — True freezes the lane (dummy padding)
     ) -> ExploreResult:
         n = v.shape[0]
 
@@ -92,14 +107,18 @@ def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
         alive &= ~edge_dead_init
 
         def cond(c: _Carry):
-            return ~c.done
+            live = ~c.done
+            if max_pops is not None:
+                live &= c.it < max_pops
+            return live
 
         def body(c: _Carry) -> _Carry:
             # under vmap the loop runs until the slowest lane finishes;
-            # finished lanes must freeze
+            # finished (or chunk-exhausted) lanes must freeze
             new = _body_step(c)
+            frozen = ~cond(c)
             return jax.tree.map(
-                lambda old_v, new_v: jnp.where(c.done, old_v, new_v), c, new
+                lambda old_v, new_v: jnp.where(frozen, old_v, new_v), c, new
             )
 
         def _body_step(c: _Carry) -> _Carry:
@@ -155,8 +174,11 @@ def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
                 done=success | ~has_edge,
                 edge_dead=edge_dead,
                 n_pops=c.n_pops + has_edge.astype(jnp.int32),
+                it=c.it + 1,
             )
 
+        if done_init is None:
+            done_init = jnp.asarray(False)
         init = _Carry(
             alive=alive,
             explored=explored_init,
@@ -165,9 +187,10 @@ def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
             count=jnp.int32(0),
             success=jnp.asarray(False),
             success_node=jnp.int32(-1),
-            done=jnp.asarray(False),
+            done=jnp.asarray(done_init),
             edge_dead=edge_dead_init,
             n_pops=jnp.int32(0),
+            it=jnp.int32(0),
         )
         out = jax.lax.while_loop(cond, body, init)
         return ExploreResult(
@@ -179,6 +202,7 @@ def make_explore_round_core(kernels: EnvKernels, rrt_eps: float):
             n_checks=out.count,
             edge_dead=out.edge_dead,
             n_pops=out.n_pops,
+            done=out.done,
         )
 
     return explore_round
@@ -199,6 +223,27 @@ def make_explore_round_batch(kernels: EnvKernels, rrt_eps: float):
 
     core = make_explore_round_core(kernels, rrt_eps)
     return jax.jit(jax.vmap(core))
+
+
+def make_explore_round_batch_chunked(kernels: EnvKernels, rrt_eps: float):
+    """Jitted multi-lane search bounded at ``chunk`` pops per device call.
+
+    The lane-compaction serving shape: each call advances every lane by at
+    most ``chunk`` frontier pops and returns per-lane ``done`` flags; the
+    host drops finished lanes, re-batches the rest (power-of-two buckets),
+    and resumes from the returned state. One compiled program per
+    (chunk, lane-count) pair.
+    """
+
+    def fn(scene, v, goal, scores, edges, collided_mask, node_valid,
+           explored, prev, costs, edge_dead, done, *, chunk: int):
+        core = make_explore_round_core(kernels, rrt_eps, max_pops=chunk)
+        return jax.vmap(core)(
+            scene, v, goal, scores, edges, collided_mask, node_valid,
+            explored, prev, costs, edge_dead, done,
+        )
+
+    return jax.jit(fn, static_argnames=("chunk",))
 
 
 def backtrack(prev, node: int):

@@ -18,3 +18,17 @@ def test_batched_matches_scalar():
     np.testing.assert_allclose(a[7], b[7])  # explore-only checks
     if a[0]:
         np.testing.assert_allclose(a[3], b[3], rtol=1e-6)  # path cost
+
+    # tiny chunk: every lane needs multiple compaction rounds (pause at the
+    # pop budget, re-batch survivors, resume from carried state) — metrics
+    # must still be bit-identical to the scalar path
+    env3, _ = str2env("maze2easy")
+    c = eval_gnn_batched(
+        "maze2easy", 1234, env3, np.arange(2000, 2004), lanes=4, batch=100,
+        t_max=100, chunk=4,
+    )
+    assert a[0] == c[0]
+    np.testing.assert_allclose(a[1], c[1])
+    np.testing.assert_allclose(a[7], c[7])
+    if a[0]:
+        np.testing.assert_allclose(a[3], c[3], rtol=1e-6)
