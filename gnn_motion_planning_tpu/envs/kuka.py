@@ -535,10 +535,19 @@ class KukaEnv:
             self.collision_point = new_state
         return free
 
-    def plot(self, path, make_gif: bool = False):
-        raise NotImplementedError(
-            "GUI rendering is PyBullet-specific; use utils/plot.py projections"
-        )
+    def _render_segments(self, config):
+        """World-frame capsule axis segments for rendering."""
+
+        p0, p1, _ = capsules_world(self.chain, jnp.asarray(config, jnp.float32))
+        return np.asarray(p0), np.asarray(p1)
+
+    def plot(self, path, make_gif: bool = False, save_path=None):
+        """Headless render of the path sweep (reference kuka_env.py:281-346:
+        PyBullet GUI + camera frames; here matplotlib 3D off the same FK)."""
+
+        from gnn_motion_planning_tpu.utils.plot import plot_arm_path
+
+        return plot_arm_path(self, path, make_gif=make_gif, save_path=save_path)
 
 
 def _kuka_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKernels:

@@ -162,6 +162,16 @@ class Kuka2Env(KukaEnv):
             )
         return cache[key]
 
+    def _render_segments(self, config):
+        q = jnp.asarray(config, jnp.float32)
+        dof = self.config_dim // 2
+        p0a, p1a, _ = capsules_world(self.chain, q[:dof], base_trans=self.base1)
+        p0b, p1b, _ = capsules_world(self.chain, q[dof:], base_trans=self.base2)
+        return (
+            np.concatenate([np.asarray(p0a), np.asarray(p0b)]),
+            np.concatenate([np.asarray(p1a), np.asarray(p1b)]),
+        )
+
     def get_robot_points(self, config, end_point: bool = True):
         from gnn_motion_planning_tpu.envs.kinematics import link_translations
 

@@ -559,6 +559,15 @@ class MazeEnv:
     def get_robot_points(self, config):
         return [config]
 
+    def plot(self, path, make_gif: bool = False, save_path=None):
+        """Headless render of the path sweep over the occupancy map. The
+        reference MazeEnv ships no plot method (maze rendering lives in its
+        utils/plot.py); this matches the other env families' protocol."""
+
+        from gnn_motion_planning_tpu.utils.plot import plot_maze_path
+
+        return plot_maze_path(self, path, make_gif=make_gif, save_path=save_path)
+
     # -- collision oracle (numpy host mirror of the device kernels) ----------
 
     def _transform(self, state, w=None):
