@@ -30,6 +30,7 @@ from gnn_motion_planning_tpu.envs.kinematics import (
 )
 from gnn_motion_planning_tpu.envs.urdf import parse_urdf
 from gnn_motion_planning_tpu.utils.assets import asset_path
+from gnn_motion_planning_tpu.utils.timer import Timer, timed
 
 _BIG = np.int32(1 << 30)
 MAX_OBSTACLES = 16
@@ -319,6 +320,7 @@ class KukaEnv:
         sample = self._rand().uniform(pr[:, 0], pr[:, 1], (n, self.config_dim))
         return sample.reshape(-1) if n == 1 else sample
 
+    @timed(Timer.SAMPLE)
     def sample_n_points(self, n: int, need_negative: bool = False):
         """Chunked rejection sampling; stream-identical to
         kuka_env.py:194-209 (free/collide decisions from our oracle)."""
@@ -510,9 +512,11 @@ class KukaEnv:
             self.collision_point = state
         return free
 
+    @timed(Timer.VERTEX_CHECK)
     def _state_fp(self, state) -> bool:
         return self._point_in_free_space(state)
 
+    @timed(Timer.EDGE_CHECK)
     def _edge_fp(self, state, new_state) -> bool:
         """One fused device call per edge (free/collide + reference count)."""
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnn_motion_planning_tpu.envs.env_config import LIMITS, RRT_EPS, STICK_LENGTH
+from gnn_motion_planning_tpu.utils.timer import Timer, timed
 
 _BIG = np.int32(1 << 30)
 
@@ -427,6 +428,7 @@ class MazeEnv:
         )
         return sample.reshape(-1) if n == 1 else sample
 
+    @timed(Timer.SAMPLE)
     def sample_n_points(self, n: int, need_negative: bool = False):
         """Rejection sampling, stream-identical to maze_env.py:85-100.
 
@@ -613,6 +615,7 @@ class MazeEnv:
         center = np.asarray(state[:2])
         return center - half * orient, center + half * orient
 
+    @timed(Timer.VERTEX_CHECK)
     def _state_fp(self, state):
         state = np.asarray(state)
         if state.size == 2:
@@ -644,6 +647,7 @@ class MazeEnv:
         self.collision_check_count -= int(counts.sum())
         return free, counts
 
+    @timed(Timer.EDGE_CHECK)
     def _edge_fp(self, state, new_state):
         state, new_state = np.asarray(state), np.asarray(new_state)
         if not self._valid_state(state) or not self._valid_state(new_state):

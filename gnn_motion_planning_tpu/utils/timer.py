@@ -43,3 +43,43 @@ class Timer:
         for s, e, a in self.log:
             tags[a] = tags.get(a, 0.0) + (e - s)
         return tags
+
+    def clear(self):
+        self.log = []
+
+    NAMES = {
+        0: "vertex_check", 1: "sample", 2: "plan", 3: "create",
+        4: "edge_check", 5: "forward", 6: "nn", 7: "expand",
+        8: "heap", 9: "gpu", 10: "shortest_path",
+    }
+
+    def pretty(self):
+        return {
+            self.NAMES.get(a, str(a)): round(t, 4)
+            for a, t in sorted(self.summary().items())
+        }
+
+
+def timed(tag):
+    """Bracket an env oracle method with the reference's timer tags
+    (kuka_env.py:373-410: timer.start()/finish(Timer.VERTEX_CHECK /
+    EDGE_CHECK) around _state_fp/_edge_fp). The timer is created lazily on
+    the instance so env constructors need no changes."""
+
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            t = getattr(self, "timer", None)
+            if t is None:
+                t = self.timer = Timer()
+            st = time()
+            try:
+                return fn(self, *args, **kwargs)
+            finally:
+                t.log.append([st, time(), tag])
+
+        return wrapper
+
+    return deco

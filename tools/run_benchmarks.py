@@ -98,6 +98,11 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
             "total_time_s": float(out[4]),
             "wall_s": round(wall, 2),
         }
+        timer = getattr(env, "timer", None)
+        if timer is not None and timer.log:
+            results[method]["timer_s"] = timer.pretty()
+            print("timer:", timer.pretty(), flush=True)
+            timer.clear()
         out_path.write_text(json.dumps(results, indent=1))
         print(json.dumps(results[method]), flush=True)
     return results

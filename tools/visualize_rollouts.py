@@ -18,7 +18,21 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def main(name: str = "maze2easy", n: int = 3):
+def _render(env, name, index, path, tag, out_dir, gif=False):
+    """Render a path via env.plot (all env families) and, for mazes, the
+    edge-level overlay too."""
+
+    kwargs = dict(make_gif=gif)
+    suffix = "gif" if gif else "png"
+    save = str(out_dir / f"{tag}_{name}_{index}.{suffix}")
+    if str(env).startswith("snake"):
+        env.plot(env.map, path, save_path=save, **kwargs)
+    else:
+        env.plot(path, save_path=save, **kwargs)
+    return save
+
+
+def main(name: str = "maze2easy", n: int = 3, gif: bool = False):
     from gnn_motion_planning_tpu.api import explore, str2env, str2name
     from gnn_motion_planning_tpu.config import set_random_seed
     from gnn_motion_planning_tpu.planners.bit_star import BITStar
@@ -37,41 +51,34 @@ def main(name: str = "maze2easy", n: int = 3):
         result = explore(env, model, model_s, smooth=True, batch=200, t_max=400)
         pb = env.get_problem()
         if result["success"]:
-            path = np.asarray(result["path"])
-            edges = list(zip(path[:-1], path[1:]))
-            plot_edges(
-                result["path"],
-                edges,
-                pb,
-                save_path=str(out_dir / f"gnn_{name}_{index}.png"),
-                title=f"GNN explore #{index} ({result['c_explore']} checks)",
+            _render(env, name, index, result["path"], "gnn", out_dir, gif)
+            _render(
+                env, name, index, result["smooth_path"], "gnn_smooth",
+                out_dir, gif,
             )
-            spath = np.asarray(result["smooth_path"])
-            plot_edges(
-                result["smooth_path"],
-                list(zip(spath[:-1], spath[1:])),
-                pb,
-                save_path=str(out_dir / f"gnn_smooth_{name}_{index}.png"),
-                title=f"GNN smoothed #{index}",
-            )
+            if name.startswith("maze"):  # edge-level maze overlay
+                path = np.asarray(result["path"])
+                plot_edges(
+                    result["path"],
+                    list(zip(path[:-1], path[1:])),
+                    pb,
+                    save_path=str(out_dir / f"gnn_edges_{name}_{index}.png"),
+                    title=f"GNN explore #{index} ({result['c_explore']} checks)",
+                )
 
         env.init_new_problem(int(index))
         bit = BITStar(env, batch_size=50, T=500)
         bit.plan(float("inf"), refine_time_budget=0, time_budget=10)
         path = bit.get_best_path()
         if path:
-            plot_edges(
-                path,
-                list(zip(path[:-1], path[1:])),
-                pb,
-                save_path=str(out_dir / f"bit_{name}_{index}.png"),
-                title=f"BIT* #{index}",
-            )
+            _render(env, name, index, path, "bit", out_dir, gif)
         print(f"rendered problem {index}", flush=True)
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--gif"]
     main(
-        sys.argv[1] if len(sys.argv) > 1 else "maze2easy",
-        int(sys.argv[2]) if len(sys.argv) > 2 else 3,
+        args[0] if args else "maze2easy",
+        int(args[1]) if len(args) > 1 else 3,
+        gif="--gif" in sys.argv,
     )
