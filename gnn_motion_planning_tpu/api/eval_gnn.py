@@ -563,6 +563,18 @@ def explore_batch(
             for pi, li in enumerate(lanes_idx):
                 L = len(paths[li])
                 smooth_paths[li] = [out_paths[pi, i] for i in range(L)]
+        elif smooth and paths:
+            # no loadable model smoother for this env (e.g. maze3, see
+            # explore()): oracle-smooth per lane like the scalar path does
+            from gnn_motion_planning_tpu.planners.oracle_smoother import (
+                joint_smoother,
+            )
+
+            for li in sorted(paths):
+                env.init_new_problem(int(group[li]))
+                c0 = env.collision_check_count
+                smooth_paths[li] = joint_smoother(paths[li], env, iter=5)
+                smooth_counts[li] = env.collision_check_count - c0
         smooth_time = time() - t_sm
 
         for li, idx in enumerate(group):
@@ -606,7 +618,14 @@ def eval_gnn_batched(
     **kwargs,
 ):
     """Batched-lane benchmark sweep: same metrics as eval_gnn, but problems
-    are planned `lanes` at a time in single fused device calls."""
+    are planned `lanes` at a time in fused device calls.
+
+    Timing caveat: success/checks/cost are bit-identical to the scalar
+    protocol, but the reported "running time" is amortized group wall time
+    per problem (a throughput number), NOT the reference's per-problem wall
+    time (eval_gnn.py:131,139) — lanes share device calls, so per-problem
+    wall time is not defined. Compare against scalar `eval_gnn` for the
+    reference-protocol latency metric."""
 
     from gnn_motion_planning_tpu.api.registry import str2name
 

@@ -190,6 +190,8 @@ def train_explorer(
     with open(asset_path(data_path) if not str(data_path).startswith("/") else data_path, "rb") as f:
         graphs = pickle.load(f)
 
+    epoch = min(epoch, len(graphs))
+
     # one global padded shape: every (shape, loop) pair compiles a separate
     # XLA program, and dozens of bucket variants exhaust compile memory
     global_n_pad = _pad_bucket(max(len(g[0]) for g in graphs[:epoch]))

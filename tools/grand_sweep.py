@@ -1,0 +1,103 @@
+"""Grand benchmark sweep with per-method problem budgets, resumable.
+
+The reference sweep (eval_all.py:9-47) runs 7 env configs x 5 methods and
+pickles every cell into data/result.p. This driver reproduces that artifact
+with a per-method problem budget (GNN: full split; classical baselines:
+first `n_base` problems — they run the host oracle per call and the full
+split would be days of chip time), and it resumes: cells already present
+in the output pickle are skipped, so the sweep can be stopped/restarted.
+
+Deviation from the reference table: Kuka_13D and Kuka_14D run on the
+regenerated datasets' verified solvable heads (upstream kukas_13/14 files
+are not shipped; see tools/generate_problems.py) via the registry splits.
+
+Usage: python tools/grand_sweep.py [--methods=GNN,BIT*] [--envs=Maze_2D_Easy]
+       [--n-base=100] [--out=data/result.p]
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from pathlib import Path
+from time import time
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def env_table():
+    import gnn_motion_planning_tpu.envs as envs
+    from gnn_motion_planning_tpu.api.registry import str2env
+
+    def reg(name):
+        return lambda: str2env(name)
+
+    return [
+        ("Maze_2D_Easy", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_easy.npz"), np.arange(1000))),
+        ("Maze_2D_Normal", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_normal.npz"), np.arange(1000))),
+        ("Maze_2D_Hard", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_hard.npz"), np.arange(1000))),
+        ("Maze_3D", lambda: (envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(2000, 3000))),
+        ("Kuka_7D", lambda: (envs.KukaEnv(), np.arange(2000, 3000))),
+        ("Kuka_13D", reg("kuka13")),  # verified head of the regenerated set
+        ("Kuka_14D", reg("kuka14")),
+    ]
+
+
+def main(argv):
+    from gnn_motion_planning_tpu.api.eval_all import METHODS
+
+    method_names = list(METHODS)
+    env_names = None
+    n_base = 100
+    out_path = "data/result.p"
+    for a in argv:
+        if a.startswith("--methods="):
+            method_names = a.split("=", 1)[1].split(",")
+        elif a.startswith("--envs="):
+            env_names = a.split("=", 1)[1].split(",")
+        elif a.startswith("--n-base="):
+            n_base = int(a.split("=", 1)[1])
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    result_total = pickle.loads(out.read_bytes()) if out.exists() else {}
+
+    seed = 1234
+    for env_name, make in env_table():
+        if env_names and env_name not in env_names:
+            continue
+        env = None
+        for method_name in method_names:
+            key = (env_name, method_name, str(seed))
+            if key in result_total:
+                print(f"skip {key} (done)", flush=True)
+                continue
+            if env is None:
+                env, indexes = make()
+            idx = indexes if method_name == "GNN" else indexes[:n_base]
+            print(f"=== {env_name} / {method_name} / {len(idx)} problems ===",
+                  flush=True)
+            t0 = time()
+            result = METHODS[method_name](str(env), seed, env, idx)
+            # drop the per-problem path payloads from the pickle: the
+            # reference stores them too, but 1000-problem path lists
+            # balloon the artifact; keep the metric tuple + counts
+            result_total[key] = tuple(
+                r for i, r in enumerate(result) if i not in (5, 6)
+            )
+            result_total[env_name, method_name, "Avg"] = tuple(
+                float(np.asarray(result[i]).mean()) for i in range(5)
+            )
+            pickle.dump(result_total, open(out, "wb"))
+            print(f"cell wall: {time() - t0:.1f}s -> {out}", flush=True)
+
+    print("sweep complete:", len(result_total), "cells")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
