@@ -40,16 +40,20 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         from gnn_motion_planning_tpu.api import explore, path_cost, str2name
         from gnn_motion_planning_tpu.config import set_random_seed
 
+        from gnn_motion_planning_tpu.api.registry import eval_overrides
+
+        over = dict(t_max=500)
+        over.update(eval_overrides(name))
         _, model, _, model_s, _ = str2name(name)
         env.rng = set_random_seed(1234)
         # warm compiles outside the timed region
         env.init_new_problem(int(idx[0]))
-        explore(env, model, model_s, smooth=True)
+        explore(env, model, model_s, smooth=True, **over)
         times, succ, costs, checks = [], 0, [], []
         for i in idx:
             env.init_new_problem(int(i))
             t0 = time()
-            r = explore(env, model, model_s, smooth=True)
+            r = explore(env, model, model_s, smooth=True, **over)
             times.append(time() - t0)
             succ += r["success"]
             checks.append(r["c_explore"] + r["c_smooth"])
@@ -68,10 +72,18 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         )
         return out
 
+    from gnn_motion_planning_tpu.api.registry import eval_overrides
+
+    over = eval_overrides(name)
+
     table = {
-        "GNN": lambda env, idx: eval_gnn(name, 1234, env, idx, use_tqdm=False),
+        "GNN": lambda env, idx: eval_gnn(
+            name, 1234, env, idx, use_tqdm=False, **over
+        ),
         "GNN-p50": gnn_percentiles,
-        "GNN-batched": lambda env, idx: eval_gnn_batched(name, 1234, env, idx, lanes=25),
+        "GNN-batched": lambda env, idx: eval_gnn_batched(
+            name, 1234, env, idx, lanes=25, **over
+        ),
         "BIT*": lambda env, idx: eval_bit(name, 1234, env, idx),
         "LazySP": lambda env, idx: eval_lazysp(name, 1234, env, idx),
         "RRT*": lambda env, idx: eval_rrt(name, 1234, env, idx),
