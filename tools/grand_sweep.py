@@ -32,8 +32,15 @@ def env_table():
     import gnn_motion_planning_tpu.envs as envs
     from gnn_motion_planning_tpu.api.registry import str2env
 
-    def reg(name):
-        return lambda: str2env(name)
+    def reg(name, head=None):
+        """Registry env, optionally clipped to the verified solvable head
+        of a regenerated dataset (tools/generate_problems.py)."""
+
+        def make():
+            env, idx = str2env(name)
+            return env, (idx[:head] if head else idx)
+
+        return make
 
     return [
         ("Maze_2D_Easy", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_easy.npz"), np.arange(1000))),
@@ -41,8 +48,8 @@ def env_table():
         ("Maze_2D_Hard", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_hard.npz"), np.arange(1000))),
         ("Maze_3D", lambda: (envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(2000, 3000))),
         ("Kuka_7D", lambda: (envs.KukaEnv(), np.arange(2000, 3000))),
-        ("Kuka_13D", reg("kuka13")),  # verified head of the regenerated set
-        ("Kuka_14D", reg("kuka14")),
+        ("Kuka_13D", reg("kuka13", head=250)),  # verified heads of the
+        ("Kuka_14D", reg("kuka14", head=400)),  # regenerated datasets
     ]
 
 
