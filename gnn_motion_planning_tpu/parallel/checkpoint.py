@@ -30,15 +30,14 @@ def save_train_state(ckpt_dir: str, step: int, params, opt_state, host_rng_state
     ckptr.save(path / f"step_{step}", payload, force=True)
     ckptr.wait_until_finished()
     if host_rng_state is not None:
-        keys, pos, has_gauss, cached = (
-            host_rng_state[0],
-            host_rng_state[2],
-            host_rng_state[3],
-            host_rng_state[4],
-        )
+        # numpy get_state() tuple: (bit-generator name, keys, pos,
+        # has_gauss, cached_gaussian); the name is always "MT19937" here
+        # (config.py owns the generator) so only the mutable state is kept
+        name, keys, pos, has_gauss, cached = host_rng_state
+        assert name == "MT19937", f"unexpected bit generator {name!r}"
         np.savez(
             path / f"step_{step}_rng.npz",
-            keys=host_rng_state[1],
+            keys=keys,
             pos=pos,
             has_gauss=has_gauss,
             cached=cached,
