@@ -59,8 +59,13 @@ def make_next_loss(cfg: NextConfig):
 
 
 def train_next(str_name, T: int = 1000, n_problems: int = 2000, seed: int = 1234,
-               model_path=None, train_every: int = 200, log_dir=None):
-    """Full NEXT training loop (reference train_next.py:71-120)."""
+               model_path=None, train_every: int = 200, log_dir=None,
+               from_scratch: bool = False):
+    """Full NEXT training loop (reference train_next.py:71-120).
+
+    ``from_scratch`` re-initializes the parameter tree (He init for weight
+    tensors, zeros for biases) instead of fine-tuning the converted
+    checkpoint — the reference trains NEXT from torch default init."""
 
     from gnn_motion_planning_tpu.api.eval_baselines import str2next
     from gnn_motion_planning_tpu.api.registry import str2name
@@ -77,6 +82,22 @@ def train_next(str_name, T: int = 1000, n_problems: int = 2000, seed: int = 1234
         model_path = f"/tmp/next_{str_name}.npz"
     params = jax.tree.map(jnp.asarray, model.params)
     cfg = model.cfg
+    if from_scratch:
+        key = jax.random.PRNGKey(seed)
+        leaves, treedef = jax.tree.flatten(params)
+        fresh = []
+        for leaf in leaves:
+            key, k = jax.random.split(key)
+            if leaf.ndim >= 2:  # torch layout: fan_in = prod(shape[1:])
+                fan_in = float(np.prod(leaf.shape[1:]))
+                fresh.append(
+                    jax.random.normal(k, leaf.shape, leaf.dtype)
+                    * (2.0 / fan_in) ** 0.5
+                )
+            else:
+                fresh.append(jnp.zeros_like(leaf))
+        params = jax.tree.unflatten(treedef, fresh)
+        model.params = params
 
     loss_fn = make_next_loss(cfg)
     optimizer = optax.adam(1e-3)
