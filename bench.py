@@ -22,7 +22,7 @@ import numpy as np
 # (checks/sec), re-measured live whenever /root/reference is available
 _RECORDED_REF_CHECKS_PER_SEC = 60000.0
 
-_N_EDGES = 8192
+_N_EDGES = 32768
 _REPS = 30
 
 
@@ -43,13 +43,13 @@ def measure_tpu(env, a, b):
     import jax
     import jax.numpy as jnp
 
-    from gnn_motion_planning_tpu.envs.maze import edge_free_2d
+    from gnn_motion_planning_tpu.envs.maze import edge_free_2d, make_occ_scene
 
-    occ = jnp.asarray(env.map)
+    scene = make_occ_scene(env.map)  # gather-free occupancy lookup
 
     @jax.jit
     def batch_check(a, b):
-        free, cnt = jax.vmap(lambda x, y: edge_free_2d(occ, x, y))(a, b)
+        free, cnt = jax.vmap(lambda x, y: edge_free_2d(scene, x, y))(a, b)
         return free, jnp.sum(cnt)
 
     a = jnp.asarray(a, jnp.float32)

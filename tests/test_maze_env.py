@@ -119,3 +119,54 @@ def test_sampling_stream_parity(reference_maze_env, dim):
     np.testing.assert_allclose(np.array(ref_free), np.array(our_free))
     np.testing.assert_allclose(np.array(ref_neg), np.array(our_neg))
     assert ref.collision_check_count == ours.collision_check_count
+
+
+def test_occ_scene_gather_free_parity():
+    """OccScene (gather-free occupancy compare) is bit-identical to the
+    grid-indexing kernels on decisions AND counts, 2D and 3D."""
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnn_motion_planning_tpu.envs.maze import (
+        MazeEnv,
+        edge_free_2d,
+        edge_free_3d,
+        make_occ_scene,
+        point_free_2d,
+        stick_free_3d,
+    )
+
+    env = MazeEnv(dim=2)
+    env.init_new_problem(2000)
+    occ = jnp.asarray(env.map)
+    scene = make_occ_scene(env.map)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (256, 2)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1, 1, (256, 2)), jnp.float32)
+
+    fg, cg = jax.vmap(lambda x, y: edge_free_2d(occ, x, y))(a, b)
+    fs, cs = jax.vmap(lambda x, y: edge_free_2d(scene, x, y))(a, b)
+    np.testing.assert_array_equal(np.asarray(fg), np.asarray(fs))
+    np.testing.assert_array_equal(np.asarray(cg), np.asarray(cs))
+
+    pg = jax.vmap(lambda x: point_free_2d(occ, x))(a)
+    ps = jax.vmap(lambda x: point_free_2d(scene, x))(a)
+    np.testing.assert_array_equal(np.asarray(pg[0]), np.asarray(ps[0]))
+    np.testing.assert_array_equal(np.asarray(pg[1]), np.asarray(ps[1]))
+
+    env3 = MazeEnv(dim=3)
+    env3.init_new_problem(2000)
+    occ3 = jnp.asarray(env3.map)
+    scene3 = make_occ_scene(env3.map)
+    q0 = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)), jnp.float32)
+    q1 = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)), jnp.float32)
+    sg = jax.vmap(lambda q: stick_free_3d(occ3, q))(q0)
+    ss = jax.vmap(lambda q: stick_free_3d(scene3, q))(q0)
+    np.testing.assert_array_equal(np.asarray(sg[0]), np.asarray(ss[0]))
+    np.testing.assert_array_equal(np.asarray(sg[1]), np.asarray(ss[1]))
+    eg = jax.vmap(lambda x, y: edge_free_3d(occ3, x, y))(q0, q1)
+    es = jax.vmap(lambda x, y: edge_free_3d(scene3, x, y))(q0, q1)
+    np.testing.assert_array_equal(np.asarray(eg[0]), np.asarray(es[0]))
+    np.testing.assert_array_equal(np.asarray(eg[1]), np.asarray(es[1]))
