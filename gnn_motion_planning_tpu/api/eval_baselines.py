@@ -135,7 +135,7 @@ def _eval_tree_planner(env, indexes, use_tqdm, t_max, model, g_explore_eps):
         )
         times.append(time() - t0)
 
-    n_success = int(np.sum([s[1] for s in solutions]))
+    n_success = int(np.sum([bool(s[1]) for s in solutions]))
     collision = float(
         np.mean(
             [

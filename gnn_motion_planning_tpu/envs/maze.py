@@ -548,9 +548,12 @@ class MazeEnv:
         return new_state
 
     def in_goal_region(self, state):
-        return self.distance(state, self.goal_state) < RRT_EPS and self._state_fp(
-            state
-        )
+        # distance() returns shape (1,) for single states; coerce so `done`
+        # stays a scalar bool through env.step (the other envs already do)
+        return bool(
+            np.asarray(self.distance(state, self.goal_state)).reshape(-1)[0]
+            < RRT_EPS
+        ) and self._state_fp(state)
 
     def step(self, state, action=None, new_state=None, check_collision=True):
         if action is not None:

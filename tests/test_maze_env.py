@@ -170,3 +170,21 @@ def test_occ_scene_gather_free_parity():
     es = jax.vmap(lambda x, y: edge_free_3d(scene3, x, y))(q0, q1)
     np.testing.assert_array_equal(np.asarray(eg[0]), np.asarray(es[0]))
     np.testing.assert_array_equal(np.asarray(eg[1]), np.asarray(es[1]))
+
+
+def test_step_done_is_scalar_bool():
+    """env.step's `done` must be a scalar bool — distance() returns shape
+    (1,) and once leaked through in_goal_region it poisons tree-planner
+    success aggregation (eval_rrt crash on inhomogeneous arrays)."""
+
+    import numpy as np
+
+    from gnn_motion_planning_tpu.envs.maze import MazeEnv
+
+    env = MazeEnv(dim=2)
+    env.init_new_problem(2000)
+    assert env.in_goal_region(np.asarray(env.goal_state)) in (True, False)
+    _, _, _, done = env.step(
+        np.asarray(env.init_state), new_state=np.asarray(env.goal_state)
+    )
+    assert isinstance(done, (bool, np.bool_)) and np.ndim(done) == 0
