@@ -38,7 +38,10 @@ def default_env_table():
         ("Maze_2D_Easy", lambda: envs.MazeEnv(dim=2, map_file="maze_files/mazes_easy.npz"), np.arange(1000)),
         ("Maze_2D_Normal", lambda: envs.MazeEnv(dim=2, map_file="maze_files/mazes_normal.npz"), np.arange(1000)),
         ("Maze_2D_Hard", lambda: envs.MazeEnv(dim=2, map_file="maze_files/mazes_hard.npz"), np.arange(1000)),
-        ("Maze_3D", lambda: envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(2000, 3000)),
+        # reference eval_all.py:19 uses arange(2000, 3000) here, but the
+        # shipped mazes_hard_3.npz holds exactly 1000 problems (indexes
+        # 2000+ are out of range — upstream bug); use the file's range
+        ("Maze_3D", lambda: envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(1000)),
         ("Kuka_7D", lambda: envs.KukaEnv(), np.arange(2000, 3000)),
         ("Kuka_13D", lambda: envs.KukaEnv(kuka_file="kuka_iiwa/model_3.urdf", map_file="maze_files/kukas_13_3000.pkl"), np.arange(2000, 3000)),
         ("Kuka_14D", lambda: envs.Kuka2Env(), np.arange(2000, 3000)),

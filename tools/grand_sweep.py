@@ -46,7 +46,10 @@ def env_table():
         ("Maze_2D_Easy", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_easy.npz"), np.arange(1000))),
         ("Maze_2D_Normal", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_normal.npz"), np.arange(1000))),
         ("Maze_2D_Hard", lambda: (envs.MazeEnv(dim=2, map_file="maze_files/mazes_hard.npz"), np.arange(1000))),
-        ("Maze_3D", lambda: (envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(2000, 3000))),
+        # reference eval_all.py:19 indexes 2000-3000, but the shipped
+        # mazes_hard_3.npz holds 1000 problems — an upstream out-of-range
+        # bug; evaluate the file's full range instead
+        ("Maze_3D", lambda: (envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(1000))),
         ("Kuka_7D", lambda: (envs.KukaEnv(), np.arange(2000, 3000))),
         ("Kuka_13D", reg("kuka13", head=250)),  # verified heads of the
         ("Kuka_14D", reg("kuka14", head=400)),  # regenerated datasets
