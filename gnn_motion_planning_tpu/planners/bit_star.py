@@ -64,6 +64,12 @@ class BITStar:
         self.n_free_points = 2
         self.deadline = None  # wall-clock bound honoured inside sampling
 
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
+        # reference bit_star.py:19-23 timer protocol (tags: SAMPLE on
+        # batch sampling, EXPAND on neighbour scans, HEAP on queue rebuilds)
+        self.timer = timer if timer is not None else Timer()
+
     # -- sampling ------------------------------------------------------------
 
     def _rand(self):
@@ -126,6 +132,7 @@ class BITStar:
         return free
 
     def informed_sample(self, c_best, sample_num, vertices, max_rounds: int = 500):
+        self.timer.start()
         out = []
         rounds = 0
         while len(out) < sample_num and rounds < max_rounds:
@@ -135,6 +142,9 @@ class BITStar:
             out.extend(tuple(p) for p in cand[free])
             if self.deadline is not None and time() > self.deadline:
                 break
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
+        self.timer.finish(Timer.SAMPLE)
         return out[:sample_num]
 
     # -- scores --------------------------------------------------------------
@@ -198,6 +208,9 @@ class BITStar:
     def expand_vertex(self, point):
         """Vectorised neighbour scan (reference bit_star.py:212-247 does a
         Python loop over every sample/vertex)."""
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
+        self.timer.start()
 
         p = np.asarray(point)
         goal = np.asarray(self.goal)
@@ -242,6 +255,7 @@ class BITStar:
                                 self.edge_queue,
                                 (self.get_edge_value((point, neighbor)), (point, neighbor)),
                             )
+        self.timer.finish(Timer.EXPAND)
 
     def get_best_path(self):
         path = []
@@ -278,10 +292,14 @@ class BITStar:
                 self.samples.extend(self.sampling(c_best, self.batch_size, self.vertices))
                 self.T += self.batch_size
                 self.old_vertices = set(self.vertices)
+                self.timer.start()
                 self.vertex_queue = [
                     (self.get_point_value(p), p) for p in self.vertices
                 ]
                 heapq.heapify(self.vertex_queue)
+                from gnn_motion_planning_tpu.utils.timer import Timer
+
+                self.timer.finish(Timer.HEAP)
                 q = len(self.vertices) + len(self.samples)
                 self.r = self.radius_init() * (
                     (math.log(q) / q) ** (1.0 / self.dimension)

@@ -37,6 +37,12 @@ class LazySP:
         self.n_collision_points = 0
         self.n_free_points = 2
 
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
+        # reference lazy_sp.py:27-30 timer protocol (NN on graph build,
+        # SHORTEST_PATH on the dijkstra repair loop)
+        self.timer = timer if timer is not None else Timer()
+
     def _rand(self):
         return self.env.rng if getattr(self.env, "rng", None) is not None else np.random
 
@@ -99,12 +105,16 @@ class LazySP:
 
             q = len(self.samples)
             self.k = int(np.ceil(self.k0 * np.log(q) / np.log(100)))
+            self.timer.start()
             edge_cost, neighbors, edge_index = self.construct_graph(self.k, self.samples)
+            self.timer.finish(self.timer.NN)
 
             while True:
+                self.timer.start()
                 dist, prev = dijkstra(
                     list(range(len(self.samples))), neighbors, edge_cost, 0
                 )
+                self.timer.finish(self.timer.SHORTEST_PATH)
                 if dist[1] != INF:
                     feasible = True
                     path = self.get_path(prev, 1, 0)

@@ -63,7 +63,7 @@ def NEXT_plan(
             success = success or done
             expanded_by_rrt = True
         else:
-            idx = select(search_tree, env, c=c)
+            idx = select(search_tree, env, c=c, timer=timer)
             parent_idx = idx
             leaf_state, _, no_collision, done = expand(
                 search_tree, parent_idx, model, env, c=c
@@ -117,15 +117,20 @@ def global_explore(search_tree, env, sample_state=None):
     )
 
 
-def select(search_tree, env, c: float = 1.0):
+def select(search_tree, env, c: float = 1.0, timer=None):
     """UCB argmax over non-terminal tree nodes, vectorised
-    (reference tsa.py:141-165 loops per node)."""
+    (reference tsa.py:141-165 loops per node; HEAP timer tag there)."""
 
+    if timer is not None:
+        timer.start()
     idxes = np.asarray(search_tree.non_terminal_idxes)
     Q = np.asarray(search_tree.state_values, dtype=float)[idxes]
     w = np.asarray(search_tree.w, dtype=float)[idxes]
     U = np.sqrt(np.log(search_tree.w_sum) / w)
-    return int(idxes[np.argmax(Q + c * U)])
+    out = int(idxes[np.argmax(Q + c * U)])
+    if timer is not None:
+        timer.finish(timer.HEAP)
+    return out
 
 
 def expand(search_tree, idx, model, env, k: int = 10, c: float = 1.0):
