@@ -485,6 +485,13 @@ def explore_batch(
             keep = np.nonzero(~done & live)[0]
             if keep.size == 0:
                 break
+            if keep.size == len(pool):
+                # nothing finished: resume in place, no gather traffic
+                st = (
+                    st[0], st[1], st[2], st[3], st[4], st[5], st[6],
+                    res.explored, res.prev, res.costs, res.edge_dead,
+                )
+                continue
             bucket = 1 << int(np.ceil(np.log2(keep.size)))
             bucket = min(bucket, len(pool))
             pad = bucket - keep.size

@@ -123,6 +123,12 @@ _SPECS = {
 # mean collision checks stay well under the 2x inflation bound.
 EVAL_OVERRIDES = {
     "snake7": {"t_max": 2000},
+    # cheap-oracle envs finish their greedy search well inside one chunk;
+    # a large chunk makes the batched path one device call per round (the
+    # compaction machinery only pays off where per-pop kernels are heavy)
+    "maze2easy": {"chunk": 4096},
+    "maze2hard": {"chunk": 4096},
+    "maze3": {"chunk": 4096},
 }
 
 

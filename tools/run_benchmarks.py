@@ -44,6 +44,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
 
         over = dict(t_max=500)
         over.update(eval_overrides(name))
+        over.pop("chunk", None)  # batched-path knob
         _, model, _, model_s, _ = str2name(name)
         env.rng = set_random_seed(1234)
         # warm compiles outside the timed region
@@ -75,10 +76,12 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
     from gnn_motion_planning_tpu.api.registry import eval_overrides
 
     over = eval_overrides(name)
+    # `chunk` tunes only the batched lane-compaction path
+    over_scalar = {k: v for k, v in over.items() if k != "chunk"}
 
     table = {
         "GNN": lambda env, idx: eval_gnn(
-            name, 1234, env, idx, use_tqdm=False, **over
+            name, 1234, env, idx, use_tqdm=False, **over_scalar
         ),
         "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(
