@@ -522,14 +522,19 @@ def explore_batch(
         if smooth and paths and getattr(model_s, "params", None) is not None:
             l_pad = pad_to_bucket(max(len(p) for p in paths.values()))
             lanes_idx = sorted(paths)
-            P = len(lanes_idx)
+            # pad the smoothing batch to the fixed lane count: each distinct
+            # (P, l_pad) pair compiles its own smoother program, and the
+            # success count varies per group — dummy rows repeat lane 0 and
+            # their counts are never read
+            P = B
             path_arr = np.zeros((P, l_pad, d), np.float32)
             mask_arr = np.zeros((P, l_pad), bool)
             bs_l, bd_l, ba_l = [], [], []
             envn = np.zeros((P, 1000, d), np.float32)
             envv = np.zeros((P, 1000), bool)
             nfree = np.zeros(P, np.int32)
-            for pi, li in enumerate(lanes_idx):
+            pad_rows = [lanes_idx[0]] * (P - len(lanes_idx))
+            for pi, li in enumerate(lanes_idx + pad_rows):
                 p = paths[li]
                 L = len(p)
                 path_arr[pi, :L] = np.asarray(p, np.float32)
@@ -550,7 +555,8 @@ def explore_batch(
 
             path_dev = jnp.asarray(path_arr)
             scene_s = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[scenes[li] for li in lanes_idx]
+                lambda *xs: jnp.stack(xs),
+                *[scenes[li] for li in lanes_idx + pad_rows],
             )
             for _ in range(5):
                 proposal = planner.smoother_vfwd(
