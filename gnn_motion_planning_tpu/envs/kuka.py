@@ -475,9 +475,14 @@ class KukaEnv:
         return free, cnt
 
     def _batch_free(self, qs: np.ndarray) -> np.ndarray:
-        """Batched point oracle; inputs are padded to power-of-two buckets so
-        arbitrary chunk sizes share one compiled kernel."""
+        """Batched point oracle; native core when available (no device
+        round trip — the tunnel RPC dominates at planner batch sizes),
+        else padded to power-of-two buckets so arbitrary chunk sizes share
+        one compiled kernel."""
 
+        if getattr(self, "_native", None) is not None:
+            free, _ = self._native.states_free(np.asarray(qs, np.float64))
+            return free
         self._ensure_batch_fns()
         qs = np.asarray(qs, np.float32)
         n = len(qs)

@@ -151,6 +151,17 @@ class Kuka2Env(KukaEnv):
         self.episode_i = 0
         self._batch_state_free = None
 
+        self._native = None
+        try:
+            from gnn_motion_planning_tpu.utils.geomcore import GeomDual
+
+            self._native = GeomDual(
+                self.chain, np.asarray(self.base1, np.float64),
+                np.asarray(self.base2, np.float64), self.RRT_EPS,
+            )
+        except Exception:
+            self._native = None
+
     _kernel_cache: dict = {}
 
     def kernels(self) -> EnvKernels:

@@ -46,6 +46,10 @@ def get_lib():
     lib.geom_free_scene.argtypes = [ctypes.c_int64]
     lib.geom_states_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, ctypes.c_int, u8, i32]
     lib.geom_edge_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, d, u8, i32]
+    lib.geom_new_dual.restype = ctypes.c_int64
+    lib.geom_new_dual.argtypes = [ctypes.c_int64, d, d]
+    lib.geom_dual_states_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, ctypes.c_int, u8, i32]
+    lib.geom_dual_edge_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, d, u8, i32]
     _lib = lib
     return lib
 
@@ -140,3 +144,52 @@ class GeomChain:
 
 def _ip_out(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class GeomDual:
+    """Native oracle for the dual-arm robot (kuka14): one chain at two base
+    translations, box contact over both arms plus cross-arm capsule pairs
+    (mirrors envs/kuka2.py::dual_state_free)."""
+
+    def __init__(self, chain, base1, base2, rrt_eps: float):
+        lib = get_lib()
+        self._single = GeomChain(chain, rrt_eps)
+        self.dof = 2 * self._single.dof
+        self._b1 = np.ascontiguousarray(base1, np.float64)
+        self._b2 = np.ascontiguousarray(base2, np.float64)
+        self.handle = lib.geom_new_dual(
+            self._single.handle, _dp(self._b1), _dp(self._b2)
+        )
+        self._scene = None
+
+    def set_scene(self, centers: np.ndarray, halfs: np.ndarray):
+        lib = get_lib()
+        if self._scene is not None:
+            lib.geom_free_scene(self._scene)
+        self._scene = lib.geom_new_scene(
+            len(centers), _dp(np.asarray(centers, np.float64)),
+            _dp(np.asarray(halfs, np.float64)),
+        )
+
+    def states_free(self, qs: np.ndarray):
+        lib = get_lib()
+        qs = np.ascontiguousarray(qs, np.float64)
+        n = len(qs)
+        free = np.zeros(n, np.uint8)
+        cnt = np.zeros(n, np.int32)
+        lib.geom_dual_states_free(
+            self.handle, self._scene, _dp(qs), n,
+            free.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ip_out(cnt),
+        )
+        return free.astype(bool), cnt
+
+    def edge_free(self, qa: np.ndarray, qb: np.ndarray):
+        lib = get_lib()
+        free = np.zeros(1, np.uint8)
+        cnt = np.zeros(1, np.int32)
+        lib.geom_dual_edge_free(
+            self.handle, self._scene,
+            _dp(np.asarray(qa, np.float64)), _dp(np.asarray(qb, np.float64)),
+            free.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ip_out(cnt),
+        )
+        return bool(free[0]), int(cnt[0])

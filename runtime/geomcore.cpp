@@ -133,6 +133,90 @@ static double seg_box_sq_dist(Vec3 p0, Vec3 p1, Vec3 c, Vec3 h) {
   return best;
 }
 
+static inline double dot(Vec3 a, Vec3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+
+// min squared distance between two segments — same closed form (and the
+// same always-recompute-s quirk) as envs/geometry.py::seg_seg_sq_dist so
+// host and device dual-arm oracles agree
+static double seg_seg_sq_dist(Vec3 p0, Vec3 p1, Vec3 q0, Vec3 q1) {
+  const double eps = 1e-12;
+  Vec3 d1 = p1 - p0, d2 = q1 - q0, r = p0 - q0;
+  double a = dot(d1, d1), e = dot(d2, d2), f = dot(d2, r);
+  double c = dot(d1, r), b = dot(d1, d2);
+  double denom = a * e - b * b;
+  double s = denom > eps ? std::clamp((b * f - c * e) / denom, 0.0, 1.0) : 0.0;
+  double t = e > eps ? (b * s + f) / e : 0.0;
+  double t_cl = std::clamp(t, 0.0, 1.0);
+  s = a > eps ? std::clamp((b * t_cl - c) / a, 0.0, 1.0) : 0.0;
+  Vec3 cp = p0 + s * d1;
+  Vec3 cq = q0 + t_cl * d2;
+  Vec3 diff = cp - cq;
+  return dot(diff, diff);
+}
+
+// Dual-arm robot: the same chain instantiated at two base translations
+// (envs/kuka2.py::dual_state_free) — box contact over both arms' capsules
+// plus cross-arm capsule-capsule contact.
+struct Dual {
+  const Chain* ch;
+  Vec3 b1, b2;
+  mutable std::vector<Vec3> pa0, pa1, pb0, pb1;  // world capsule segments
+};
+
+static std::vector<Dual*> g_duals;
+
+static void fk(const Chain& ch, const double* q);
+
+static void dual_capsules(const Dual& du, const double* q) {
+  const Chain& ch = *du.ch;
+  du.pa0.resize(ch.n_caps);
+  du.pa1.resize(ch.n_caps);
+  du.pb0.resize(ch.n_caps);
+  du.pb1.resize(ch.n_caps);
+  fk(ch, q);
+  for (int c = 0; c < ch.n_caps; ++c) {
+    int L = ch.cap_link[c];
+    du.pa0[c] = ch.R[L].apply(ch.cap_p0[c]) + ch.t[L] + du.b1;
+    du.pa1[c] = ch.R[L].apply(ch.cap_p1[c]) + ch.t[L] + du.b1;
+  }
+  fk(ch, q + ch.dof);
+  for (int c = 0; c < ch.n_caps; ++c) {
+    int L = ch.cap_link[c];
+    du.pb0[c] = ch.R[L].apply(ch.cap_p0[c]) + ch.t[L] + du.b2;
+    du.pb1[c] = ch.R[L].apply(ch.cap_p1[c]) + ch.t[L] + du.b2;
+  }
+}
+
+static bool dual_contact(const Dual& du, const Scene& sc, const double* q) {
+  const Chain& ch = *du.ch;
+  dual_capsules(du, q);
+  for (int c = 0; c < ch.n_caps; ++c) {
+    double r2 = ch.cap_r[c] * ch.cap_r[c];
+    for (size_t b = 0; b < sc.centers.size(); ++b) {
+      if (seg_box_sq_dist(du.pa0[c], du.pa1[c], sc.centers[b], sc.halfs[b]) < r2)
+        return true;
+      if (seg_box_sq_dist(du.pb0[c], du.pb1[c], sc.centers[b], sc.halfs[b]) < r2)
+        return true;
+    }
+  }
+  for (int i = 0; i < ch.n_caps; ++i)
+    for (int j = 0; j < ch.n_caps; ++j) {
+      double rr = ch.cap_r[i] + ch.cap_r[j];
+      if (seg_seg_sq_dist(du.pa0[i], du.pa1[i], du.pb0[j], du.pb1[j]) < rr * rr)
+        return true;
+    }
+  return false;
+}
+
+static bool dual_valid(const Dual& du, const double* q) {
+  const Chain& ch = *du.ch;
+  for (int i = 0; i < ch.dof; ++i) {
+    if (q[i] < ch.lower[i] || q[i] > ch.upper[i]) return false;
+    if (q[ch.dof + i] < ch.lower[i] || q[ch.dof + i] > ch.upper[i]) return false;
+  }
+  return true;
+}
+
 static void fk(const Chain& ch, const double* q) {
   ch.R.resize(ch.n_joints + 1);
   ch.t.resize(ch.n_joints + 1);
@@ -271,6 +355,63 @@ void geom_edge_free(int64_t chain_h, int64_t scene_h, const double* qa,
       c[i] = qa[i] + (double)k / K * (qb[i] - qa[i]);
     ++*count_out;
     if (state_contact(ch, sc, c.data())) return;
+  }
+  *free_out = 1;
+}
+
+// Dual-arm variants (kuka14): chain_h must refer to a live single chain.
+int64_t geom_new_dual(int64_t chain_h, const double* base1, const double* base2) {
+  auto* du = new Dual();
+  du->ch = g_chains[chain_h];
+  du->b1 = {base1[0], base1[1], base1[2]};
+  du->b2 = {base2[0], base2[1], base2[2]};
+  g_duals.push_back(du);
+  return (int64_t)(g_duals.size() - 1);
+}
+
+void geom_dual_states_free(int64_t dual_h, int64_t scene_h, const double* qs,
+                           int n, uint8_t* free_out, int32_t* count_out) {
+  const Dual& du = *g_duals[dual_h];
+  const Scene& sc = *g_scenes[scene_h];
+  int dof2 = 2 * du.ch->dof;
+  for (int i = 0; i < n; ++i) {
+    const double* q = qs + i * dof2;
+    if (!dual_valid(du, q)) {
+      free_out[i] = 0;
+      count_out[i] = 0;
+      continue;
+    }
+    count_out[i] = 1;
+    free_out[i] = dual_contact(du, sc, q) ? 0 : 1;
+  }
+}
+
+void geom_dual_edge_free(int64_t dual_h, int64_t scene_h, const double* qa,
+                         const double* qb, uint8_t* free_out,
+                         int32_t* count_out) {
+  const Dual& du = *g_duals[dual_h];
+  const Scene& sc = *g_scenes[scene_h];
+  int dof2 = 2 * du.ch->dof;
+  *free_out = 0;
+  *count_out = 0;
+  if (!dual_valid(du, qa) || !dual_valid(du, qb)) return;
+  *count_out = 1;
+  if (dual_contact(du, sc, qa)) return;
+  *count_out = 2;
+  if (dual_contact(du, sc, qb)) return;
+
+  double d2 = 0;
+  for (int i = 0; i < dof2; ++i) {
+    double diff = qb[i] - qa[i];
+    d2 += diff * diff;
+  }
+  int K = (int)(std::sqrt(d2) / du.ch->rrt_eps);
+  std::vector<double> c(dof2);
+  for (int k = 0; k < K; ++k) {
+    for (int i = 0; i < dof2; ++i)
+      c[i] = qa[i] + (double)k / K * (qb[i] - qa[i]);
+    ++*count_out;
+    if (dual_contact(du, sc, c.data())) return;
   }
   *free_out = 1;
 }
