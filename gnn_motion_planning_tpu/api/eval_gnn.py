@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_motion_planning_tpu.config import set_random_seed
+from gnn_motion_planning_tpu.config import problem_rng, set_random_seed
 from gnn_motion_planning_tpu.graphs.knn import build_rgg_edges, k_scaled
 from gnn_motion_planning_tpu.models.explorer import explorer_forward
 from gnn_motion_planning_tpu.models.smoother import smoother_forward
@@ -377,6 +377,7 @@ def explore_batch(
     loop: int = 5,
     lanes: int = 25,
     chunk: int = 64,
+    seed: int = 1234,
 ):
     """Plan a group of problems simultaneously — the TPU-native serving
     shape. One vmapped device call runs the model forward; the greedy
@@ -386,6 +387,12 @@ def explore_batch(
     those of :func:`explore`'s first round. Lanes that fail their first
     round fall back to the scalar multi-round path.
 
+    Every problem consumes its own ``problem_rng(seed, index)`` stream —
+    seeded at sampling, continued through oracle smoothing, re-seeded from
+    the start for the scalar fallback — so lane grouping and fallback order
+    cannot change any problem's draws and the per-problem metrics are
+    bit-identical to :func:`eval_gnn`'s scalar loop.
+
     Returns a list of per-problem result dicts (same payload as explore).
     """
 
@@ -393,6 +400,7 @@ def explore_batch(
     d = env.config_dim
     indexes = list(indexes)
     results = {}
+    rngs = {}  # index -> its HostRNG, continued across sampling/smoothing
 
     for g0 in range(0, len(indexes), lanes):
         group = indexes[g0 : g0 + lanes]
@@ -402,6 +410,7 @@ def explore_batch(
         sample_counts = []
         t0 = time()
         for idx in group:
+            rngs[idx] = env.rng = problem_rng(seed, int(idx))
             env.init_new_problem(int(idx))
             c0 = env.collision_check_count
             free, collided = env.sample_n_points(batch, need_negative=True)
@@ -485,8 +494,10 @@ def explore_batch(
             keep = np.nonzero(~done & live)[0]
             if keep.size == 0:
                 break
-            if keep.size == len(pool):
-                # nothing finished: resume in place, no gather traffic
+            if keep.size == int(live.sum()):
+                # no live lane finished: resume in place, no gather traffic
+                # (compare against the live count, not len(pool): padding
+                # dummies always report done and must not force a re-gather)
                 st = (
                     st[0], st[1], st[2], st[3], st[4], st[5], st[6],
                     res.explored, res.prev, res.costs, res.edge_dead,
@@ -584,6 +595,9 @@ def explore_batch(
             )
 
             for li in sorted(paths):
+                # continue the lane's own stream where sampling left it —
+                # exactly the scalar path's consumption order
+                env.rng = rngs[group[li]]
                 env.init_new_problem(int(group[li]))
                 c0 = env.collision_check_count
                 smooth_paths[li] = joint_smoother(paths[li], env, iter=5)
@@ -604,9 +618,13 @@ def explore_batch(
                     "smooth_path": smooth_paths.get(li, paths[li] if smooth else []),
                 }
 
-    # scalar fallback for lanes that failed their single batched round
+    # scalar fallback for lanes that failed their single batched round:
+    # re-seed the problem's stream from the start so the fallback IS the
+    # scalar run of that problem (its first round repeats the failed
+    # batched round draw-for-draw, then continues to rounds 2+)
     for idx in indexes:
         if idx not in results:
+            env.rng = problem_rng(seed, int(idx))
             env.init_new_problem(int(idx))
             results[idx] = explore(
                 env, model, model_s, smooth=smooth, batch=batch, t_max=t_max, k=k,
@@ -652,7 +670,7 @@ def eval_gnn_batched(
     t0 = time()
     results = explore_batch(
         env, model, model_s, indexes, smooth=smooth, batch=batch,
-        t_max=t_max, k=k, lanes=lanes, chunk=chunk,
+        t_max=t_max, k=k, lanes=lanes, chunk=chunk, seed=seed,
     )
     wall = time() - t0
 
@@ -731,6 +749,9 @@ def eval_gnn(
         iterator = tqdm(indexes)
 
     for index in iterator:
+        # independent per-problem stream: problem ordering cannot change any
+        # problem's draws, and the batched path reproduces them exactly
+        env.rng = problem_rng(seed, int(index))
         env.init_new_problem(int(index))
         result = explore(
             env, model, model_s, smooth, batch=batch, t_max=t_max, k=k, **kwargs

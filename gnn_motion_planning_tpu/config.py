@@ -95,6 +95,24 @@ class HostRNG:
         self._rs.set_state(state)
 
 
+def problem_rng(seed: int, index: int) -> HostRNG:
+    """Independent per-problem MT19937 stream derived from ``(seed, index)``.
+
+    Both the scalar protocol driver and the batched serving path seed the
+    env with this stream at every problem entry (sampling, oracle smoothing,
+    fallback re-planning), so problem ordering, lane grouping, and fallback
+    order cannot change any problem's random draws. This is what makes the
+    batched path's success/checks/cost *bit-identical* to the scalar
+    protocol's — the reference instead threads one global stream through the
+    whole sweep (reference: config.py:48-51, eval_gnn.py:98), which makes
+    each problem's draws depend on every earlier problem's outcome; metric
+    parity with the reference is defined per-protocol, not per-stream.
+    """
+
+    root = np.random.SeedSequence([int(seed), int(index)]).generate_state(1)[0]
+    return HostRNG(int(root))
+
+
 def set_random_seed(seed: int) -> HostRNG:
     """Seed all host RNGs and return an owned stream.
 

@@ -32,3 +32,55 @@ def test_batched_matches_scalar():
     np.testing.assert_allclose(a[7], c[7])
     if a[0]:
         np.testing.assert_allclose(a[3], c[3], rtol=1e-6)
+
+
+def _assert_paths_equal(a, b):
+    """Per-problem raw and smoothed paths must match waypoint-for-waypoint."""
+
+    for pa, pb in zip(a[5], b[5]):
+        assert len(pa) == len(pb)
+        for qa, qb in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    for pa, pb in zip(a[6], b[6]):
+        assert len(pa) == len(pb)
+        for qa, qb in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+
+
+def test_batched_matches_scalar_maze3_oracle_smoothing():
+    """maze3 exercises the two round-2 divergence sources: RNG-consuming
+    oracle smoothing (no loadable model smoother) and scalar fallback for
+    failed lanes. Per-problem streams make batched == scalar exactly."""
+
+    idx = np.arange(0, 6)
+    env, _ = str2env("maze3")
+    a = eval_gnn("maze3", 1234, env, idx, batch=100, t_max=100)
+    env2, _ = str2env("maze3")
+    b = eval_gnn_batched(
+        "maze3", 1234, env2, idx, lanes=3, batch=100, t_max=100
+    )
+    assert a[0] == b[0]
+    np.testing.assert_allclose(a[1], b[1])
+    np.testing.assert_allclose(a[7], b[7])
+    if a[0]:
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-6)
+    _assert_paths_equal(a, b)
+
+
+def test_batched_lane_grouping_invariance():
+    """Changing the lane grouping must not change any problem's draws or
+    metrics (independent per-problem streams)."""
+
+    idx = np.arange(2000, 2006)
+    env, _ = str2env("maze2easy")
+    a = eval_gnn_batched(
+        "maze2easy", 1234, env, idx, lanes=2, batch=100, t_max=100
+    )
+    env2, _ = str2env("maze2easy")
+    b = eval_gnn_batched(
+        "maze2easy", 1234, env2, idx, lanes=5, batch=100, t_max=100
+    )
+    assert a[0] == b[0]
+    np.testing.assert_allclose(a[1], b[1])
+    np.testing.assert_allclose(a[7], b[7])
+    _assert_paths_equal(a, b)

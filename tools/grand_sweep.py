@@ -93,7 +93,7 @@ def main(argv):
             print(f"=== {env_name} / {method_name} / {len(idx)} problems ===",
                   flush=True)
             t0 = time()
-            result = METHODS[method_name](str(env), seed, env, idx)
+            result = METHODS[method_name](str(env), seed, env, idx, use_tqdm=True)
             # drop the per-problem path payloads from the pickle: the
             # reference stores them too, but 1000-problem path lists
             # balloon the artifact; keep the metric tuple + counts
