@@ -44,6 +44,8 @@ def get_lib():
     lib.geom_new_scene.restype = ctypes.c_int64
     lib.geom_new_scene.argtypes = [ctypes.c_int, d, d]
     lib.geom_free_scene.argtypes = [ctypes.c_int64]
+    lib.geom_free_chain.argtypes = [ctypes.c_int64]
+    lib.geom_free_dual.argtypes = [ctypes.c_int64]
     lib.geom_states_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, ctypes.c_int, u8, i32]
     lib.geom_edge_free.argtypes = [ctypes.c_int64, ctypes.c_int64, d, d, u8, i32]
     lib.geom_new_dual.restype = ctypes.c_int64
@@ -141,6 +143,18 @@ class GeomChain:
         )
         return bool(free[0]), int(cnt[0])
 
+    def __del__(self):
+        # free native handles; guarded because module globals may already be
+        # torn down at interpreter shutdown
+        try:
+            if _lib is not None:
+                if self._scene is not None:
+                    _lib.geom_free_scene(self._scene)
+                    self._scene = None
+                _lib.geom_free_chain(self.handle)
+        except Exception:
+            pass
+
 
 def _ip_out(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -193,3 +207,15 @@ class GeomDual:
             free.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ip_out(cnt),
         )
         return bool(free[0]), int(cnt[0])
+
+    def __del__(self):
+        # free the dual handle before the owned GeomChain (self._single) is
+        # collected — the native Dual references the Chain
+        try:
+            if _lib is not None:
+                if self._scene is not None:
+                    _lib.geom_free_scene(self._scene)
+                    self._scene = None
+                _lib.geom_free_dual(self.handle)
+        except Exception:
+            pass

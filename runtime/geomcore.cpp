@@ -305,6 +305,23 @@ int64_t geom_new_scene(int n_boxes, const double* centers, const double* halfs) 
   return (int64_t)(g_scenes.size() - 1);
 }
 
+void geom_free_chain(int64_t handle) {
+  // only free a chain after every Dual referencing it is freed (the Python
+  // wrappers guarantee this: GeomDual frees its dual handle before its
+  // owned GeomChain is collected)
+  if (handle >= 0 && handle < (int64_t)g_chains.size() && g_chains[handle]) {
+    delete g_chains[handle];
+    g_chains[handle] = nullptr;
+  }
+}
+
+void geom_free_dual(int64_t handle) {
+  if (handle >= 0 && handle < (int64_t)g_duals.size() && g_duals[handle]) {
+    delete g_duals[handle];
+    g_duals[handle] = nullptr;
+  }
+}
+
 void geom_free_scene(int64_t handle) {
   if (handle >= 0 && handle < (int64_t)g_scenes.size() && g_scenes[handle]) {
     delete g_scenes[handle];

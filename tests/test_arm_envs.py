@@ -97,3 +97,38 @@ def test_snake_config_quirks():
     qs2 = qs.copy()
     qs2[:, 6] = rng.uniform(-np.pi, np.pi, 50)
     np.testing.assert_array_equal(env._batch_free(qs), env._batch_free(qs2))
+
+
+def test_snake_grid_scene_matches_full_scan():
+    """The 3x3-window grid kernel must agree with the full 225-cell scan
+    (exactness argument in SnakeGridScene's docstring)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.envs.snake import (
+        SnakeEnv,
+        make_snake_grid_scene,
+        make_snake_scene,
+        snake_state_free,
+        snake_state_free_grid,
+    )
+
+    env = SnakeEnv()
+    env.init_new_problem(0)
+    old = make_snake_scene(env.map)
+    new = make_snake_grid_scene(env.map)
+    f_old = jax.jit(jax.vmap(
+        lambda q: snake_state_free(
+            env.chain, env.pair_mask, old, q, env.lower, env.upper)[0]
+    ))
+    f_new = jax.jit(jax.vmap(
+        lambda q: snake_state_free_grid(
+            env.chain, env.pair_mask, new, q, env.lower, env.upper)[0]
+    ))
+    rng = np.random.RandomState(7)
+    pr = np.array(env.pose_range)
+    qs = rng.uniform(pr[:, 0], pr[:, 1], (1024, 7)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(f_old(jnp.asarray(qs))), np.asarray(f_new(jnp.asarray(qs)))
+    )

@@ -28,14 +28,21 @@ from gnn_motion_planning_tpu.graphs.knn_host import knn_graph_numpy  # noqa: E40
 
 INFINITY = float("inf")
 
+# (output pickle, #graphs, train-problem limit): problems cycle over
+# [0, train_limit) ONLY, keeping the registry eval splits (2000-3000,
+# str2env) out of the training data. kuka7 uses the reference's separate
+# training file kukas_7_4000.pkl (reference dijkstra.py:84,106) — the other
+# envs' reference training files are either the same file as eval (ur5) or
+# missing upstream (mazes_4000), so the train/test discipline here is the
+# 0-2000 split convention of str2env.py:14-38.
 OUT_NAMES = {
-    "maze2": ("maze_prm_4000.pkl", 3000),
-    "maze3": ("maze_prm_3.pkl", 3000),
-    "kuka7": ("kuka_prm_4000.pkl", 3000),
-    "ur5": ("ur5_prm_3000.pkl", 3000),
-    "snake7": ("snake_prm_3000.pkl", 3000),
-    "kuka13": ("kuka_prm_13.pkl", 3000),
-    "kuka14": ("kuka_prm_14.pkl", 3000),
+    "maze2": ("maze_prm_4000.pkl", 4000, 2000),
+    "maze3": ("maze_prm_3.pkl", 3000, 2000),
+    "kuka7": ("kuka_prm_4000.pkl", 4000, None),  # dedicated training file
+    "ur5": ("ur5_prm_3000.pkl", 3000, 2000),
+    "snake7": ("snake_prm_3000.pkl", 3000, 2000),
+    "kuka13": ("kuka_prm_13.pkl", 3000, 2000),
+    "kuka14": ("kuka_prm_14.pkl", 3000, 2000),
 }
 
 
@@ -68,17 +75,27 @@ def construct_graph_batched(env, points):
 def main(env_name: str, n_problems=None, seed: int = 1234):
     from gnn_motion_planning_tpu.api.registry import str2env
 
-    out_name, default_n = OUT_NAMES[env_name]
+    out_name, default_n, train_limit = OUT_NAMES[env_name]
     n_problems = n_problems or default_n
-    lookup = {"maze2": "maze2easy", "maze3": "maze3"}
-    env, _ = str2env(lookup.get(env_name, env_name))
+    if env_name == "kuka7":
+        # reference protocol: train on the dedicated kukas_7_4000.pkl file
+        # (dijkstra.py:84), eval on kukas_7_3000.pkl — disjoint by design
+        from gnn_motion_planning_tpu.envs import KukaEnv
+
+        env = KukaEnv(map_file="maze_files/kukas_7_4000.pkl")
+    else:
+        lookup = {"maze2": "maze2easy", "maze3": "maze3"}
+        env, _ = str2env(lookup.get(env_name, env_name))
     rng = HostRNG(seed)
     env.rng = rng
+
+    n_avail = len(getattr(env, "problems", None) or env.order)
+    cycle = min(train_limit, n_avail) if train_limit else n_avail
 
     data = []
     t0 = time()
     for index in range(n_problems):
-        env.init_new_problem(index % len(getattr(env, "problems", None) or env.order))
+        env.init_new_problem(index % cycle)
         points = np.asarray(env.uniform_sample(n=int(rng.randint(100, 400))))
         edge_cost, neighbors, edge_index, edge_free = construct_graph_batched(env, points)
         # reference pickle schema (dijkstra.py:97): points first

@@ -103,6 +103,12 @@ def main(argv):
             result_total[env_name, method_name, "Avg"] = tuple(
                 float(np.asarray(result[i]).mean()) for i in range(5)
             )
+            # merge-on-write: another sweep process may have added cells to
+            # the pickle since we loaded it — never clobber them
+            if out.exists():
+                merged = pickle.loads(out.read_bytes())
+                merged.update(result_total)
+                result_total = merged
             pickle.dump(result_total, open(out, "wb"))
             print(f"cell wall: {time() - t0:.1f}s -> {out}", flush=True)
 
