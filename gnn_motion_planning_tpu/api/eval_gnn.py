@@ -51,6 +51,7 @@ class _Planner(NamedTuple):
     edges_vfn: object
     fused_round: object  # edges + model + greedy search in ONE device call
     fused_smooth: object  # all 5 smoothing iterations in ONE device call
+    serve_round: object  # sampling + edges + model + search in ONE call
 
 
 def get_planner(env) -> _Planner:
@@ -104,6 +105,68 @@ def get_planner(env) -> _Planner:
             explored, prev, costs, edge_dead,
         )
 
+    def _serve_round(
+        params, cfg, scene, key, lower, upper, init, goal, obstacles,
+        obs_mask, batch, k1, loop, oversample,
+    ):
+        """Serving mode: device-side rejection sampling fused with the
+        planning round — ONE device call per problem instead of several
+        sampling RPCs plus the round RPC. Draws come from jax.random, not
+        the host MT19937 protocol stream, so this is an opt-in serving
+        path; the protocol path (explore) is unchanged.
+
+        Sampling semantics mirror sample_n_points(batch, need_negative=True)
+        (reference kuka_env.py:194-222): the consumed prefix ends at the
+        batch-th accepted draw, every consumed draw counts one collision
+        check, and the rejected draws within the prefix are kept (truncated
+        to `batch`) as the collided set.
+        """
+
+        d = lower.shape[0]
+        M = oversample * batch
+        draws = jax.random.uniform(
+            key, (M, d), minval=lower, maxval=upper, dtype=jnp.float32
+        )
+        free_mask, _ = jax.vmap(lambda q: kernels.state_free(scene, q))(draws)
+        cum = jnp.cumsum(free_mask.astype(jnp.int32))
+        enough = cum[-1] >= batch
+        # prefix = everything up to and including the batch-th accept
+        reached = cum >= batch
+        prefix_len = jnp.where(enough, jnp.argmax(reached) + 1, M)
+        idx = jnp.arange(M)
+        # free draws in order, then everything else (stable by index)
+        free_order = jnp.argsort(jnp.where(free_mask, idx, M + idx))
+        free_rows = draws[free_order[:batch]]
+        coll_in_prefix = (~free_mask) & (idx < prefix_len)
+        n_coll = jnp.minimum(jnp.sum(coll_in_prefix.astype(jnp.int32)), batch)
+        coll_order = jnp.argsort(jnp.where(coll_in_prefix, idx, M + idx))
+        coll_rows = draws[coll_order[:batch]]
+
+        F = batch + 2
+        N = 2 * F
+        v = jnp.zeros((N, d), jnp.float32)
+        v = v.at[0].set(init)
+        v = v.at[1].set(goal)
+        v = v.at[2:F].set(free_rows)
+        v = v.at[F : F + batch].set(coll_rows)
+        j = jnp.arange(N)
+        node_valid = (j < F) | ((j >= F) & (j < F + n_coll))
+        collided_mask = (j >= F) & (j < F + n_coll)
+
+        edges = build_rgg_edges(v, node_valid, F, k1)
+        policy = explorer_forward(
+            params, cfg, v, node_valid, goal, edges.src, edges.dst,
+            edges.alive, obstacles, obs_mask, loop=loop,
+        )
+        res = round_core(
+            scene, v, goal, policy, edges, collided_mask, node_valid,
+            jnp.zeros(N, bool).at[0].set(True),
+            jnp.zeros(N, jnp.int32),
+            jnp.zeros(N, jnp.float32),
+            jnp.zeros((N, N), bool),
+        )
+        return res, v, prefix_len, n_coll, enough
+
     def _fused_smooth(
         params, cfg, scene, path, path_mask, env_nodes, env_valid, n_free_s,
         base_src, base_dst, base_alive, n_path, iters, loop,
@@ -141,6 +204,10 @@ def get_planner(env) -> _Planner:
         ),
         fused_smooth=jax.jit(
             _fused_smooth, static_argnames=("cfg", "iters", "loop")
+        ),
+        serve_round=jax.jit(
+            _serve_round,
+            static_argnames=("cfg", "batch", "k1", "loop", "oversample"),
         ),
     )
     env._gmp_planner = planner
@@ -363,6 +430,174 @@ def explore(
         "smooth_path": smooth_path,
         "v": v_np,
     }
+
+
+def explore_serve(
+    env,
+    model,
+    model_s,
+    key,
+    smooth: bool = True,
+    batch: int = 500,
+    k: int = 30,
+    loop: int = 5,
+    oversample: int = 4,
+):
+    """Serving-mode planning for the env's current problem: sampling +
+    graph + model forward + greedy search in ONE device call, smoothing in
+    a second. Minimum-latency path for online serving; draws come from a
+    jax.random key instead of the protocol MT19937 stream (metrics are
+    statistically, not bit-, identical to :func:`explore` — use the
+    protocol path for reference comparisons).
+
+    Falls back to :func:`explore` when the oversampled draw doesn't contain
+    `batch` free samples (never observed at oversample=4 on the shipped
+    problem sets) or when the single fused round fails.
+    """
+
+    planner = get_planner(env)
+    scene = env.device_scene()
+    c0 = env.collision_check_count
+    t0 = time()
+
+    obstacles, obs_mask = env.obs_tokens()
+    if hasattr(env, "pose_range"):
+        pr = np.array(env.pose_range, np.float32)
+    else:  # maze envs sample from +/- LIMITS (reference maze_env.py:127-135)
+        from gnn_motion_planning_tpu.envs.env_config import LIMITS
+
+        lim = np.asarray(LIMITS[: env.config_dim], np.float32)
+        pr = np.stack([-lim, lim], axis=1)
+    res, v, n_sample_checks, n_coll, enough = planner.serve_round(
+        model.params,
+        model.cfg,
+        scene,
+        key,
+        jnp.asarray(pr[:, 0]),
+        jnp.asarray(pr[:, 1]),
+        jnp.asarray(np.asarray(env.init_state, np.float32)),
+        jnp.asarray(np.asarray(env.goal_state, np.float32)),
+        jnp.asarray(obstacles),
+        jnp.asarray(obs_mask),
+        batch=batch,
+        k1=k_scaled(k, batch + 2),
+        loop=loop,
+        oversample=oversample,
+    )
+    jax.block_until_ready(res.success)
+    success = bool(res.success)
+    env.collision_check_count += int(n_sample_checks) + int(res.n_checks)
+    if not bool(enough) or not success:
+        # rare: fall back to the protocol path for this problem
+        return explore(env, model, model_s, smooth=smooth, batch=batch, k=k,
+                       loop=loop)
+
+    v_np = np.asarray(v)
+    idx_path = backtrack(np.asarray(res.prev), int(res.success_node))
+    path = [v_np[i] for i in idx_path]
+    c_explore = env.collision_check_count - c0
+    t1 = time()
+
+    smooth_path = path
+    if smooth:
+        F = batch + 2
+        free = [v_np[i] for i in range(F)]
+        collided = [v_np[F + i] for i in range(int(n_coll))]
+        if getattr(model_s, "params", None) is not None:
+            smooth_path = model_smooth(model_s, free, collided, path, env)
+        else:
+            from gnn_motion_planning_tpu.planners.oracle_smoother import (
+                joint_smoother,
+            )
+
+            smooth_path = joint_smoother(path, env, iter=5)
+    c_smooth = env.collision_check_count - c0 - c_explore
+
+    total = time()
+    return {
+        "c_explore": int(c_explore),
+        "c_smooth": int(c_smooth),
+        "explored": list(np.nonzero(np.asarray(res.explored))[0]),
+        "forward": t1 - t0,
+        "total": total - t0,
+        "total_explore": t1 - t0,
+        "success": True,
+        "path": path,
+        "smooth_path": smooth_path,
+        "v": v_np,
+    }
+
+
+def eval_gnn_serve(
+    str_,
+    seed,
+    env,
+    indexes,
+    model=None,
+    model_s=None,
+    smooth: bool = True,
+    batch: int = 500,
+    k: int = 30,
+    loop: int = 5,
+    use_tqdm: bool = False,
+    **kwargs,
+):
+    """Serving-latency benchmark: per-problem wall time of the fused
+    serve path (2 device calls/problem). Prints the reference metric block
+    plus p50/p95 latency over successes."""
+
+    from gnn_motion_planning_tpu.api.registry import str2name
+
+    set_random_seed(seed)
+    if model is None:
+        _, model, _, _, _ = str2name(str_)
+    if model_s is None:
+        _, _, _, model_s, _ = str2name(str_)
+
+    root = jax.random.PRNGKey(seed)
+    solutions, times = [], []
+    iterator = indexes
+    if use_tqdm:
+        from tqdm import tqdm
+
+        iterator = tqdm(indexes)
+    for index in iterator:
+        # the fallback path consumes the protocol stream for this problem
+        env.rng = problem_rng(seed, int(index))
+        env.init_new_problem(int(index))
+        r = explore_serve(
+            env, model, model_s, jax.random.fold_in(root, int(index)),
+            smooth=smooth, batch=batch, k=k, loop=loop,
+        )
+        solutions.append(
+            (r["success"], path_cost(r["path"]), path_cost(r["smooth_path"]),
+             r["c_explore"], r["c_smooth"], r["total"], r["total_explore"])
+        )
+        if r["success"]:
+            times.append(r["total"])
+
+    n_success = sum(s[0] for s in solutions)
+    collision = float(np.mean([s[3] + s[4] for s in solutions]))
+    collision_explore = float(np.mean([s[3] for s in solutions]))
+    running_time = float(np.mean(times)) if times else float("nan")
+    solution_cost = (
+        float(sum(s[2] for s in solutions if s[0])) / n_success
+        if n_success else float("nan")
+    )
+    p50 = float(np.percentile(times, 50)) if times else float("nan")
+    p95 = float(np.percentile(times, 95)) if times else float("nan")
+
+    print("success rate:", n_success)
+    print("collision check: %.2f" % collision)
+    print("collision check explore: %.2f" % collision_explore)
+    print("running time: %.2f" % running_time)
+    print("path cost: %.2f" % solution_cost)
+    print("p50 latency: %.3f  p95: %.3f" % (p50, p95))
+    print("")
+    return (
+        n_success, collision, running_time, solution_cost,
+        float(np.sum(times)), p50, p95,
+    )
 
 
 def explore_batch(

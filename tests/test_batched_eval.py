@@ -84,3 +84,16 @@ def test_batched_lane_grouping_invariance():
     np.testing.assert_allclose(a[1], b[1])
     np.testing.assert_allclose(a[7], b[7])
     _assert_paths_equal(a, b)
+
+
+def test_serve_mode_plans_and_accounts():
+    """Serving path (fused sampling+round) must solve easy problems and
+    keep the collision-check accounting fields populated."""
+
+    from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn_serve
+
+    env, _ = str2env("maze2easy")
+    r = eval_gnn_serve("maze2easy", 1234, env, np.arange(2000, 2003), batch=100)
+    assert r[0] == 3  # all solved
+    assert r[1] > 0  # collision checks accounted
+    assert np.isfinite(r[3])
