@@ -154,6 +154,23 @@ def _load_smoother_params(ckpt: str):
 
     params = load_params(ckpt)
     if "0" not in params.get("node_code", {}):
+        # no loadable upstream checkpoint: prefer this framework's
+        # from-scratch-trained replacement when present
+        # (tools/train_scratch.py smoother maze3)
+        from pathlib import Path
+
+        from gnn_motion_planning_tpu.models.convert import _nest
+
+        scratch = (
+            Path(__file__).resolve().parents[2]
+            / "assets" / "weights_jax"
+            / (Path(ckpt).stem.replace("_attv3", "") + "_scratch.npz")
+        )
+        if scratch.exists():
+            import numpy as np
+
+            with np.load(scratch) as f:
+                return _nest({k: f[k] for k in f.files})
         return None
     return params
 

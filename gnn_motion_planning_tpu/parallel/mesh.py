@@ -15,6 +15,52 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+):
+    """Multi-process SPMD entry (SURVEY §2.3/§5 distributed-backend row).
+
+    Wraps ``jax.distributed.initialize``: every participating process calls
+    this before touching any JAX backend, after which ``jax.devices()``
+    is the GLOBAL device list, collectives ride ICI within a slice and DCN
+    across slices, and ``shard_indexes`` (parallel/sharded_eval.py) gives
+    each process its disjoint problem range for sweep sharding.
+
+    Arguments default to the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), so
+    launchers only export those. A no-op when neither arguments nor env
+    vars request multi-process mode. Returns (process_id, process_count).
+    """
+
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return 0, 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(axis: str = "dp") -> Mesh:
+    """1-axis mesh over ALL global devices (every process's locals)."""
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     """Build a 1-axis mesh over exactly ``n_devices`` devices.
 

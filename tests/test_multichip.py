@@ -117,3 +117,20 @@ def test_eight_way_eval_smoke():
     env2, _ = str2env("maze2easy")
     full = eval_gnn("maze2easy", 1234, env2, idx.tolist())
     assert merged_success == full[0]
+
+
+def test_two_process_distributed_smoke():
+    """jax.distributed.initialize entry: 2 coordinated CPU processes, global
+    mesh spans both, cross-process all-gather is correct (VERDICT r2 #7)."""
+
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "multiproc_smoke.py")],
+        capture_output=True, text=True, timeout=240, cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "MULTIPROC_SMOKE_OK" in r.stdout

@@ -30,15 +30,18 @@ INFINITY = float("inf")
 
 # (output pickle, #graphs, train-problem limit): problems cycle over
 # [0, train_limit) ONLY, keeping the registry eval splits (2000-3000,
-# str2env) out of the training data. kuka7 uses the reference's separate
-# training file kukas_7_4000.pkl (reference dijkstra.py:84,106) — the other
-# envs' reference training files are either the same file as eval (ur5) or
-# missing upstream (mazes_4000), so the train/test discipline here is the
-# 0-2000 split convention of str2env.py:14-38.
+# str2env) out of the training data. The trainer pairs graphs[i] with env
+# problem i (reference train_explorer.py:125-128: obstacle tokens and PRM
+# edge labels must describe the SAME scene), so every pickle is generated
+# from the trainer env's own problem file — the reference's shipped
+# dijkstra __main__ nominally reads the separate kukas_7_4000.pkl
+# (dijkstra.py:84), whose scenes do NOT match the training env's
+# kukas_7_3000.pkl indexes; that upstream pairing quirk is deliberately
+# not reproduced.
 OUT_NAMES = {
     "maze2": ("maze_prm_4000.pkl", 4000, 2000),
     "maze3": ("maze_prm_3.pkl", 3000, 2000),
-    "kuka7": ("kuka_prm_4000.pkl", 4000, None),  # dedicated training file
+    "kuka7": ("kuka_prm_4000.pkl", 4000, 2000),
     "ur5": ("ur5_prm_3000.pkl", 3000, 2000),
     "snake7": ("snake_prm_3000.pkl", 3000, 2000),
     "kuka13": ("kuka_prm_13.pkl", 3000, 2000),
@@ -77,15 +80,8 @@ def main(env_name: str, n_problems=None, seed: int = 1234):
 
     out_name, default_n, train_limit = OUT_NAMES[env_name]
     n_problems = n_problems or default_n
-    if env_name == "kuka7":
-        # reference protocol: train on the dedicated kukas_7_4000.pkl file
-        # (dijkstra.py:84), eval on kukas_7_3000.pkl — disjoint by design
-        from gnn_motion_planning_tpu.envs import KukaEnv
-
-        env = KukaEnv(map_file="maze_files/kukas_7_4000.pkl")
-    else:
-        lookup = {"maze2": "maze2easy", "maze3": "maze3"}
-        env, _ = str2env(lookup.get(env_name, env_name))
+    lookup = {"maze2": "maze2easy", "maze3": "maze3"}
+    env, _ = str2env(lookup.get(env_name, env_name))
     rng = HostRNG(seed)
     env.rng = rng
 

@@ -38,7 +38,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         """Scalar GNN with per-problem wall-time percentiles (p50/p95)."""
 
         from gnn_motion_planning_tpu.api import explore, path_cost, str2name
-        from gnn_motion_planning_tpu.config import set_random_seed
+        from gnn_motion_planning_tpu.config import problem_rng, set_random_seed
 
         from gnn_motion_planning_tpu.api.registry import eval_overrides
 
@@ -46,12 +46,14 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         over.update(eval_overrides(name))
         over.pop("chunk", None)  # batched-path knob
         _, model, _, model_s, _ = str2name(name)
-        env.rng = set_random_seed(1234)
+        set_random_seed(1234)
         # warm compiles outside the timed region
+        env.rng = problem_rng(1234, int(idx[0]))
         env.init_new_problem(int(idx[0]))
         explore(env, model, model_s, smooth=True, **over)
         times, succ, costs, checks = [], 0, [], []
         for i in idx:
+            env.rng = problem_rng(1234, int(i))
             env.init_new_problem(int(i))
             t0 = time()
             r = explore(env, model, model_s, smooth=True, **over)
@@ -79,6 +81,19 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
     # `chunk` tunes only the batched lane-compaction path
     over_scalar = {k: v for k, v in over.items() if k != "chunk"}
 
+    def _serve(name, env, idx):
+        """Serving mode with warm-up; returns the 5-metric tuple + stores
+        p50/p95 via the printed block (eval_gnn_serve)."""
+
+        from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn_serve
+
+        # warm the two compiled programs outside the timed region
+        eval_gnn_serve(name, 1234, env, idx[:1])
+        out = eval_gnn_serve(name, 1234, env, idx)
+        # stash percentiles for the JSON writer
+        _serve.last_p50, _serve.last_p95 = out[5], out[6]
+        return out[:5]
+
     table = {
         "GNN": lambda env, idx: eval_gnn(
             name, 1234, env, idx, use_tqdm=False, **over_scalar
@@ -86,6 +101,13 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(
             name, 1234, env, idx, lanes=25, **over
+        ),
+        "GNN-serve": lambda env, idx: _serve(name, env, idx),
+        # reference protocol budget with NO per-config overrides (snake7's
+        # t_max=2000 override is a documented deviation; this row keeps the
+        # cross-method comparison honest at t_max=500)
+        "GNN-ref-budget": lambda env, idx: eval_gnn(
+            name, 1234, env, idx, use_tqdm=False
         ),
         "BIT*": lambda env, idx: eval_bit(name, 1234, env, idx),
         "LazySP": lambda env, idx: eval_lazysp(name, 1234, env, idx),
@@ -113,6 +135,13 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
             "total_time_s": float(out[4]),
             "wall_s": round(wall, 2),
         }
+        if method == "GNN-serve" and hasattr(_serve, "last_p50"):
+            results[method]["p50_s"] = round(float(_serve.last_p50), 4)
+            results[method]["p95_s"] = round(float(_serve.last_p95), 4)
+        # stamp protocol deviations (e.g. snake7 t_max override) into the
+        # emitted JSON, not just the registry source
+        if over_scalar and method.startswith("GNN") and method != "GNN-ref-budget":
+            results[method]["protocol_overrides"] = over_scalar
         timer = getattr(env, "timer", None)
         if timer is not None and timer.log:
             results[method]["timer_s"] = timer.pretty()
