@@ -172,11 +172,20 @@ def build_surface_points(model, urdf_path: str, spacing: float = 0.01) -> Surfac
     return SurfacePoints(jnp.asarray(pts), jnp.asarray(frames))
 
 
-def make_strict_hit(chain, surface: SurfacePoints, base_trans=None, margin: float = 0.0):
+def make_strict_hit(chain, surface: SurfacePoints, base_trans=None,
+                    margin: float = 0.0, plane_point_mask=None):
     """strict_hit(scene, q) -> bool: any hull surface point inside an
-    obstacle AABB (+margin). `scene` is the env's BoxScene."""
+    obstacle AABB (+margin). `scene` is the env's BoxScene.
+
+    ``plane_point_mask`` (P,) bool marks surface points whose links are
+    tested against the z=0 ground plane (UR5, reference ur5_env.py:111):
+    a marked point with world z < 0 is a strict hit (mesh-exact)."""
 
     from gnn_motion_planning_tpu.envs.kinematics import fk_link_frames
+
+    plane_mask = (
+        jnp.asarray(plane_point_mask) if plane_point_mask is not None else None
+    )
 
     def strict_hit(scene, q):
         Rs, ts = fk_link_frames(chain, q, base_trans=base_trans)
@@ -188,7 +197,10 @@ def make_strict_hit(chain, surface: SurfacePoints, base_trans=None, margin: floa
             <= scene.halfs[None] + margin,
             axis=-1,
         )
-        return jnp.any(inside & scene.mask[None, :])
+        hit = jnp.any(inside & scene.mask[None, :])
+        if plane_mask is not None:
+            hit |= jnp.any(plane_mask & (world[:, 2] < -margin))
+        return hit
 
     return strict_hit
 

@@ -197,7 +197,12 @@ class UR5Env(KukaEnv):
         self.maps = {}
         self.rng = None
 
-        model = parse_urdf(asset_path("ur5/ur5.urdf"))
+        # 6 capsules per link: the UR5 collision meshes are chunky enough
+        # that a 3-capsule fit overshoots by up to 5.4 cm, and the
+        # per-capsule calibration shrink then under-covers the hull (strict
+        # audit round 3: ~20% proven false-"free" on random configs); the
+        # finer fit halves the overshoot and localizes the shrink
+        model = parse_urdf(asset_path("ur5/ur5.urdf"), n_caps=6)
         self.model = model
         self.chain = chain_from_model(model)
         self.config_dim = model.config_dim

@@ -23,7 +23,11 @@ step prm_kuka7 env JAX_PLATFORMS=cpu python tools/generate_prm.py kuka7
 step prm_maze2 python tools/generate_prm.py maze2
 step prm_maze3 python tools/generate_prm.py maze3
 
-# 2. from-scratch trainings (clean data) + their eval certifications
+# 2. from-scratch trainings (clean data) + their eval certifications.
+# Archive round-2 scratch checkpoints first: they were trained on PRM data
+# whose problem cycle included the eval split, and the trainer resumes from
+# an existing checkpoint — the round-3 runs must start from fresh init.
+step archive_r2_scratch bash -c 'mkdir -p assets/weights_jax/r2_archive && for f in weights_maze_scratch smooth_2d_scratch next_2_scratch; do [ -f assets/weights_jax/$f.npz ] && mv assets/weights_jax/$f.npz assets/weights_jax/r2_archive/; done; true'
 step train_expl_maze2 timeout 7200 python tools/train_scratch.py explorer maze2easy 2000 6
 step train_expl_kuka7 timeout 9000 python tools/train_scratch.py explorer kuka7 2000 6
 step train_smooth_maze3 timeout 7200 python tools/train_scratch.py smoother maze3 400 2 20
@@ -38,6 +42,8 @@ step bench_maze3 python tools/run_benchmarks.py maze3 1000 --methods=GNN,GNN-bat
 step bench_kuka7 python tools/run_benchmarks.py kuka7 1000 --methods=GNN
 step bench_kuka13 python tools/run_benchmarks.py kuka13 250 --methods=GNN
 step bench_kuka14 python tools/run_benchmarks.py kuka14 400 --methods=GNN,GNN-batched,GNN-p50,GNN-serve
+# ur5 moved to a 6-capsule fit (round-3 strict audit): recalibrate first
+step calib_ur5 timeout 5400 python tools/calibrate_capsules.py ur5
 step bench_ur5 python tools/run_benchmarks.py ur5 1000 --methods=GNN
 step bench_snake7 python tools/run_benchmarks.py snake7 250 --methods=GNN,GNN-batched,GNN-ref-budget
 

@@ -69,9 +69,21 @@ def audit(name: str, n_configs: int = 100_000, spacing: float = 0.01,
             env.chain, surface, env.base1, env.base2, margin=margin
         )
     else:
+        plane_point_mask = None
+        if name == "ur5":
+            # mark surface points on plane-tested links (mesh-exact z<0)
+            geom = env.geom
+            cap_link = np.asarray(env.chain.cap_link)
+            plane_frames = set(
+                cap_link[np.asarray(geom.plane_mask)].tolist()
+            )
+            plane_point_mask = np.isin(
+                np.asarray(surface.frame), sorted(plane_frames)
+            )
         base = getattr(env, "base_trans", None)
         strict = make_strict_hit(env.chain, surface, base_trans=base,
-                                 margin=margin)
+                                 margin=margin,
+                                 plane_point_mask=plane_point_mask)
 
     @jax.jit
     def judge(scene, qs):

@@ -43,6 +43,13 @@ def train_explorer_scratch(config: str, epoch: int = 2000, iters: int = 20):
 
     env, model, _, _, _, data_path = str2name(config, get_data=True, load=False)
     out = OUT_DIR / SCRATCH_NAMES[("explorer", config)]
+    if out.exists():
+        # resume: continue from the existing scratch checkpoint
+        from gnn_motion_planning_tpu.models.convert import _nest
+
+        with np.load(out) as f:
+            model = model._replace(params=_nest({k: f[k] for k in f.files}))
+        print(f"resuming from {out}", flush=True)
     log = LOG_DIR / f"{config}_explorer_scratch"
     log.mkdir(parents=True, exist_ok=True)
     t0 = time()
