@@ -52,12 +52,20 @@ def test_batched_matches_scalar_maze3_oracle_smoothing():
     oracle smoothing (no loadable model smoother) and scalar fallback for
     failed lanes. Per-problem streams make batched == scalar exactly."""
 
+    from gnn_motion_planning_tpu.api.registry import str2name
+
+    # force the ORACLE smoother (params=None) regardless of whether a
+    # scratch-trained maze3 smoother checkpoint is present: this test covers
+    # the RNG-consuming oracle-smoothing path specifically
+    _, _, _, model_s, _ = str2name("maze3")
+    model_s = model_s._replace(params=None)
+
     idx = np.arange(0, 6)
     env, _ = str2env("maze3")
-    a = eval_gnn("maze3", 1234, env, idx, batch=100, t_max=100)
+    a = eval_gnn("maze3", 1234, env, idx, model_s=model_s, batch=100, t_max=100)
     env2, _ = str2env("maze3")
     b = eval_gnn_batched(
-        "maze3", 1234, env2, idx, lanes=3, batch=100, t_max=100
+        "maze3", 1234, env2, idx, model_s=model_s, lanes=3, batch=100, t_max=100
     )
     assert a[0] == b[0]
     np.testing.assert_allclose(a[1], b[1])
