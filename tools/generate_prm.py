@@ -55,7 +55,16 @@ def construct_graph_batched(env, points):
     edge_index = knn_graph_numpy(points, k=5, loop=True)
     a = points[edge_index[:, 0]]
     b = points[edge_index[:, 1]]
-    if hasattr(env, "_batch_edge_free"):
+    if getattr(env, "_native", None) is not None:
+        # native C++ core: the same oracle the env's own _edge_fp serves
+        # (kuka.py::_edge_fp prefers _native), and ~50x faster than the
+        # device kernels when this tool is pinned to the CPU backend
+        free = np.zeros(len(a), bool)
+        counts = np.zeros(len(a), np.int64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            free[i], counts[i] = env._native.edge_free(x, y)
+        env.collision_check_count += int(counts.sum())
+    elif hasattr(env, "_batch_edge_free"):
         free, counts = env._batch_edge_free(a, b)
         env.collision_check_count += int(counts.sum())
     else:
