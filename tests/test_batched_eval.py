@@ -1,5 +1,6 @@
 """Batched-lane eval must reproduce scalar eval metrics exactly."""
 
+import pytest
 import numpy as np
 
 from gnn_motion_planning_tpu.api import str2env
@@ -47,6 +48,7 @@ def _assert_paths_equal(a, b):
             np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
 
 
+@pytest.mark.slow
 def test_batched_matches_scalar_maze3_oracle_smoothing():
     """maze3 exercises the two round-2 divergence sources: RNG-consuming
     oracle smoothing (no loadable model smoother) and scalar fallback for
@@ -75,6 +77,7 @@ def test_batched_matches_scalar_maze3_oracle_smoothing():
     _assert_paths_equal(a, b)
 
 
+@pytest.mark.slow
 def test_batched_lane_grouping_invariance():
     """Changing the lane grouping must not change any problem's draws or
     metrics (independent per-problem streams)."""

@@ -8,7 +8,13 @@ from gnn_motion_planning_tpu.api.registry import str2env
 
 
 @pytest.mark.parametrize(
-    "name", ["maze2easy", "maze3", "kuka7", "kuka14", "ur5", "snake7"]
+    "name",
+    [
+        "maze2easy", "maze3", "kuka7",
+        pytest.param("kuka14", marks=pytest.mark.slow),
+        pytest.param("ur5", marks=pytest.mark.slow),
+        pytest.param("snake7", marks=pytest.mark.slow),
+    ],
 )
 def test_plot_runs_and_returns_frames(name, tmp_path):
     env, idx = str2env(name)

@@ -6,9 +6,11 @@ parameter is `str_`, so the headline GNN method crashed with a TypeError
 correctly through the sweep loop on a tiny problem count.
 """
 
+import pytest
 import pickle
 
 
+@pytest.mark.slow
 def test_eval_all_five_methods(tmp_path):
     from gnn_motion_planning_tpu.api.eval_all import METHODS, eval_all
 

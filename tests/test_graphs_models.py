@@ -1,5 +1,6 @@
 """Unit tests: kNN graph semantics, model padding invariance, Dijkstra."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +45,7 @@ def test_build_rgg_edges_vs_host_bruteforce():
     assert len(got.symmetric_difference(want)) <= 4
 
 
+@pytest.mark.slow
 def test_explorer_padding_invariance():
     """Dead padding nodes/edges must not change live policy entries."""
 

@@ -55,7 +55,9 @@ def test_host_oracle_matches_reference(reference_maze_env, dim):
         assert ref.collision_check_count == ours.collision_check_count
 
 
-@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize(
+    "dim", [2, pytest.param(3, marks=pytest.mark.slow)]
+)
 def test_device_kernels_match_host(dim):
     env = MazeEnv(dim=dim)
     env.init_new_problem(2000)
@@ -121,6 +123,7 @@ def test_sampling_stream_parity(reference_maze_env, dim):
     assert ref.collision_check_count == ours.collision_check_count
 
 
+@pytest.mark.slow
 def test_occ_scene_gather_free_parity():
     """OccScene (gather-free occupancy compare) is bit-identical to the
     grid-indexing kernels on decisions AND counts, 2D and 3D."""

@@ -29,6 +29,7 @@ def test_make_mesh_strict():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_train_step_shards_batch_eight_ways():
     from gnn_motion_planning_tpu.models.explorer import (
         ExplorerConfig,
@@ -98,6 +99,7 @@ def test_sharded_eval_partition_covers_all():
     assert sum(len(p) for p in parts) == len(idx)
 
 
+@pytest.mark.slow
 def test_eight_way_eval_smoke():
     """8-way problem-sharded eval on maze2easy: each virtual device's worker
     runs a disjoint index range; merged metrics must equal the unsharded run."""

@@ -44,6 +44,7 @@ def test_explore_solves_maze_problems(maze2_models):
     assert n_success >= 2
 
 
+@pytest.mark.slow
 def test_eval_gnn_metrics_shape(maze2_models):
     model, model_s = maze2_models
     env, _ = str2env("maze2easy")

@@ -39,7 +39,9 @@ def test_maze_distance_symmetric():
         np.testing.assert_allclose(env.distance(a, b), env.distance(b, a))
 
 
-@pytest.mark.parametrize("name", ["maze2easy", "kuka7"])
+@pytest.mark.parametrize(
+    "name", ["maze2easy", pytest.param("kuka7", marks=pytest.mark.slow)]
+)
 def test_degenerate_edge_matches_state_check(name):
     """edge_free(a, a) agrees with the state oracle at a."""
 
@@ -53,7 +55,9 @@ def test_degenerate_edge_matches_state_check(name):
     np.testing.assert_array_equal(np.asarray(sf), np.asarray(ef))
 
 
-@pytest.mark.parametrize("name", ["maze2easy", "kuka7"])
+@pytest.mark.parametrize(
+    "name", ["maze2easy", pytest.param("kuka7", marks=pytest.mark.slow)]
+)
 def test_free_edge_implies_free_endpoints(name):
     env, idx = str2env(name)
     env.init_new_problem(int(idx[0]))

@@ -57,6 +57,7 @@ def test_strict_detects_gross_contact(kuka_strict):
     assert bool(strict(scene, q))
 
 
+@pytest.mark.slow
 def test_planned_paths_strict_feasible(kuka_strict):
     """Smoothed paths returned by the production pipeline must be
     hull-exactly collision-free (VERDICT r2 item 5)."""

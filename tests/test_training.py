@@ -24,6 +24,7 @@ def test_scalar_logger_roundtrip(tmp_path):
     assert scalars["train/lr"] == [(0, 1e-3)]
 
 
+@pytest.mark.slow
 def test_train_explorer_tiny(tmp_path):
     from gnn_motion_planning_tpu.api.registry import str2name
     from gnn_motion_planning_tpu.training.explorer import train_explorer
@@ -47,6 +48,7 @@ def test_train_explorer_tiny(tmp_path):
     assert len(scalars["train/loss"]) == len(losses)
 
 
+@pytest.mark.slow
 def test_train_smoother_tiny(tmp_path):
     from gnn_motion_planning_tpu.api.registry import str2name
     from gnn_motion_planning_tpu.training.smoother import train_smoother
