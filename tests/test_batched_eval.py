@@ -7,6 +7,7 @@ from gnn_motion_planning_tpu.api import str2env
 from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn, eval_gnn_batched
 
 
+@pytest.mark.slow
 def test_batched_matches_scalar():
     env, _ = str2env("maze2easy")
     a = eval_gnn("maze2easy", 1234, env, np.arange(2000, 2004), batch=100, t_max=100)
