@@ -69,6 +69,8 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
             float(np.mean(costs)) if costs else float("nan"),
             float(np.sum(times)),
         )
+        gnn_percentiles.last_p50 = float(np.median(times))
+        gnn_percentiles.last_p95 = float(np.percentile(times, 95))
         print(
             f"p50 {np.median(times):.3f}s p95 {np.percentile(times, 95):.3f}s "
             f"mean {np.mean(times):.3f}s"
@@ -138,6 +140,9 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         if method == "GNN-serve" and hasattr(_serve, "last_p50"):
             results[method]["p50_s"] = round(float(_serve.last_p50), 4)
             results[method]["p95_s"] = round(float(_serve.last_p95), 4)
+        if method == "GNN-p50" and hasattr(gnn_percentiles, "last_p50"):
+            results[method]["p50_s"] = round(gnn_percentiles.last_p50, 4)
+            results[method]["p95_s"] = round(gnn_percentiles.last_p95, 4)
         # stamp protocol deviations (e.g. snake7 t_max override) into the
         # emitted JSON, not just the registry source
         if over_scalar and method.startswith("GNN") and method != "GNN-ref-budget":
