@@ -127,7 +127,10 @@ def get_planner(env) -> _Planner:
         draws = jax.random.uniform(
             key, (M, d), minval=lower, maxval=upper, dtype=jnp.float32
         )
-        free_mask, _ = jax.vmap(lambda q: kernels.state_free(scene, q))(draws)
+        if kernels.batch_state_free is not None:
+            free_mask, _ = kernels.batch_state_free(scene, draws)
+        else:
+            free_mask, _ = jax.vmap(lambda q: kernels.state_free(scene, q))(draws)
         cum = jnp.cumsum(free_mask.astype(jnp.int32))
         enough = cum[-1] >= batch
         # prefix = everything up to and including the batch-th accept

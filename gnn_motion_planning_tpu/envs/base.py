@@ -25,6 +25,9 @@ class EnvKernels(NamedTuple):
     edge_free(scene, q0, q1)    -> (free: bool, n_checks: int32)
     distance(q0, q1)            -> float (the env's metric, incl. wrap/clamp)
     interpolate(q0, q1, ratio)  -> q (the env's steering rule)
+    batch_state_free(scene, qs) -> (free: (B,) bool, n_checks: (B,) int32),
+        optional: a whole-batch implementation (e.g. a Pallas kernel) that
+        beats `vmap(state_free)`; callers fall back to the vmap when None.
     """
 
     state_free: Callable[[Scene, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
@@ -33,3 +36,4 @@ class EnvKernels(NamedTuple):
     ]
     distance: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
     interpolate: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    batch_state_free: Any = None

@@ -13,6 +13,7 @@ and the fixed-step edge rule K = int(d / RRT_EPS) with k = 0..K-1
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import NamedTuple, Optional
 
@@ -136,11 +137,30 @@ def make_chain_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKer
         )
         return free, count.astype(jnp.int32)
 
+    # whole-batch states-free via the Pallas SoA narrow-phase kernel
+    # (ops/pallas_capsule.py). Gated until the chip A/B (tools/ab_capsule.py)
+    # shows it beating vmap(state_free); decisions are pinned bit-equal by
+    # tests/test_pallas_capsule.py either way.
+    batch_state_free = None
+    if os.environ.get("GMP_PALLAS_CAPSULE", "0") == "1":
+        from gnn_motion_planning_tpu.ops.pallas_capsule import capsules_hit
+
+        def batch_state_free(scene: BoxScene, qs: jnp.ndarray):
+            valid = jnp.all((qs >= chain.lower) & (qs <= chain.upper), axis=1)
+            p0, p1, _ = jax.vmap(lambda q: capsules_world(chain, q))(qs)
+            hit = capsules_hit(
+                p0, p1, chain.cap_r, scene.centers, scene.halfs, scene.mask,
+                # Mosaic targets the TPU; CPU (tests) runs the interpreter
+                interpret=jax.default_backend() == "cpu",
+            )
+            return valid & ~hit, valid.astype(jnp.int32)
+
     return EnvKernels(
         state_free=state_free,
         edge_free=edge_free,
         distance=distance,
         interpolate=interpolate,
+        batch_state_free=batch_state_free,
     )
 
 
@@ -432,7 +452,10 @@ class KukaEnv:
 
             @jax.jit
             def batch_free(scene, qs):
-                free, _ = jax.vmap(lambda q: kern.state_free(scene, q))(qs)
+                if kern.batch_state_free is not None:
+                    free, _ = kern.batch_state_free(scene, qs)
+                else:
+                    free, _ = jax.vmap(lambda q: kern.state_free(scene, q))(qs)
                 return free
 
             self._batch_state_free = batch_free

@@ -69,6 +69,34 @@ def test_degenerate_segments_match_xla():
 
 
 @pytest.mark.slow
+def test_gated_batch_state_free_matches_vmap(monkeypatch):
+    """GMP_PALLAS_CAPSULE=1 wires batch_state_free into the chain kernels;
+    its (free, checks) must equal vmap(state_free) including out-of-limit
+    configurations (which count as one check and are never free)."""
+
+    from gnn_motion_planning_tpu.api.registry import str2env
+    from gnn_motion_planning_tpu.envs.kuka import chain_state_free, make_chain_kernels
+
+    monkeypatch.setenv("GMP_PALLAS_CAPSULE", "1")
+    env, indexes = str2env("kuka7")
+    env.init_new_problem(int(indexes[0]))
+    kern = make_chain_kernels(env.chain, env.RRT_EPS, 64)
+    assert kern.batch_state_free is not None
+
+    rng = np.random.RandomState(3)
+    lo, hi = np.asarray(env.chain.lower), np.asarray(env.chain.upper)
+    qs = rng.uniform(lo, hi, (64, lo.shape[0])).astype(np.float32)
+    qs[::7] = qs[::7] + (hi - lo)  # push some configs out of limits
+
+    free_b, cnt_b = kern.batch_state_free(env._scene, jnp.asarray(qs))
+    free_v, cnt_v = jax.vmap(
+        lambda q: chain_state_free(env.chain, env._scene, q)
+    )(jnp.asarray(qs))
+    np.testing.assert_array_equal(np.asarray(free_b), np.asarray(free_v))
+    np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_v))
+
+
+@pytest.mark.slow
 def test_kuka7_chain_states_match_xla():
     from gnn_motion_planning_tpu.api.registry import str2env
     from gnn_motion_planning_tpu.envs.kinematics import capsules_world
