@@ -20,6 +20,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: a cold host (fresh boot, wiped /tmp compile
+# cache) otherwise pays ~10 min of XLA compiles for the default suite vs
+# ~3 min warm; keep the cache inside the repo so reboots don't wipe it
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys
 from pathlib import Path
 

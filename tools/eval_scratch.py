@@ -1,10 +1,12 @@
-"""Evaluate a from-scratch explorer checkpoint on a registry config.
+"""Evaluate a from-scratch checkpoint on a registry config.
 
-Loads an npz checkpoint produced by training/explorer.py, swaps it into the
+Loads an npz checkpoint produced by the trainers, swaps it into the
 standard eval harness (same protocol as the shipped weights), and prints
-the reference metric block.
+the reference metric block. Explorer checkpoints run the GNN protocol;
+NEXT checkpoints run the tree-planner protocol (eval_next.py:47-88).
 
 Usage: python tools/eval_scratch.py [ckpt.npz] [config] [n_problems]
+       python tools/eval_scratch.py --next <ckpt.npz> <config> [n_problems]
 """
 
 from __future__ import annotations
@@ -34,9 +36,53 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
     return out
 
 
-if __name__ == "__main__":
-    main(
-        sys.argv[1] if len(sys.argv) > 1 else "assets/weights_jax/weights_maze_scratch.npz",
-        sys.argv[2] if len(sys.argv) > 2 else "maze2easy",
-        int(sys.argv[3]) if len(sys.argv) > 3 else 1000,
+def main_next(ckpt, name="maze2easy", n=250):
+    """NEXT scratch checkpoint under the reference tree-planner protocol."""
+
+    from gnn_motion_planning_tpu.api.eval_baselines import (
+        _eval_tree_planner,
+        _seed_env,
+        str2next,
     )
+    from gnn_motion_planning_tpu.api.registry import str2env
+    from gnn_motion_planning_tpu.models.convert import _nest
+
+    import functools
+
+    import jax
+
+    from gnn_motion_planning_tpu.models.next_model import (
+        pb_forward,
+        state_forward,
+    )
+
+    env, idx = str2env(name)
+    _seed_env(1234, env)
+    model, _ = str2next(name, env)
+    with np.load(ckpt) as f:
+        model.params = _nest({k: f[k] for k in f.files})
+    # the constructor baked the converted params into the jit closures;
+    # rebind them to the scratch checkpoint
+    model._pb = jax.jit(functools.partial(pb_forward, model.params, model.cfg))
+    model._fwd = jax.jit(
+        functools.partial(state_forward, model.params, model.cfg)
+    )
+    out = _eval_tree_planner(env, idx[:n], False, 1000, model, 0.1)
+    print("success", out[0], "of", n)
+    return out
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if args and args[0] == "--next":
+        main_next(
+            args[1],
+            args[2] if len(args) > 2 else "maze2easy",
+            int(args[3]) if len(args) > 3 else 250,
+        )
+    else:
+        main(
+            args[0] if args else "assets/weights_jax/weights_maze_scratch.npz",
+            args[1] if len(args) > 1 else "maze2easy",
+            int(args[2]) if len(args) > 2 else 1000,
+        )
