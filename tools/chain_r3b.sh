@@ -17,8 +17,12 @@ step() {
 }
 
 # NEXT from-scratch on maze2 (reference train_next.py protocol, trains on
-# problems 0..n-1 of mazes_15_2_3000 — eval split is 2000-3000, disjoint)
-step train_next_maze2 timeout 14400 python - <<'EOF'
+# problems 0..n-1 of mazes_15_2_3000 — eval split is 2000-3000, disjoint).
+# Runs entirely on CPU: the model is tiny and NEXT_plan is host-bound, so
+# this never contends with whatever the main chain runs on the one chip.
+step train_next_maze2 timeout 18000 env JAX_PLATFORMS=cpu python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
 from gnn_motion_planning_tpu.training.next import train_next
 train_next(
     "maze2easy", T=500, n_problems=1000, seed=1234,
@@ -28,6 +32,15 @@ train_next(
 )
 EOF
 
-step eval_next_scratch python tools/eval_scratch.py --next assets/weights_jax/next_2_scratch_r3.npz maze2easy 250
+step eval_next_scratch env JAX_PLATFORMS=cpu python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, "tools")
+from eval_scratch import main_next
+main_next("assets/weights_jax/next_2_scratch_r3.npz", "maze2easy", 250)
+EOF
 
 echo "CHAIN_R3B_DONE $(date)" >>"$L"
+# NOTE: tools/ab_capsule.py (capsule-kernel A/B) needs the real chip —
+# run it manually after chain_r3.sh releases the TPU.
