@@ -343,7 +343,14 @@ class KukaEnv:
     @timed(Timer.SAMPLE)
     def sample_n_points(self, n: int, need_negative: bool = False):
         """Chunked rejection sampling; stream-identical to
-        kuka_env.py:194-209 (free/collide decisions from our oracle)."""
+        kuka_env.py:194-209 (free/collide decisions from our oracle).
+
+        Precision caveat: with the native core present, decisions come
+        from the float64 host oracle; the float32 device kernels may
+        disagree at contact boundaries (>99.5% agreement pinned by
+        tests/test_geomcore.py), so the accepted-sample stream can
+        differ from device-oracle runs recorded before the switch —
+        see BASELINE.md "oracle precision" note."""
 
         rng = self.rng
         pr = np.array(self.pose_range)
