@@ -26,7 +26,10 @@ while true; do
     echo "$(date +%H:%M:%S) r3b finished" >> /tmp/babysit_r3b.log
     exit 0
   fi
-  cur=$(grep '^=== ' /tmp/chain_r3.log 2>/dev/null | tail -1 | awk '{print $2}')
+  # step markers are "=== <name> === <time>"; run_benchmarks.py also prints
+  # "=== <env> / <method> / ... ===" lines, so require the second "===" to
+  # sit in field 3 to pick up only real step transitions
+  cur=$(awk '$1=="===" && $3=="===" {n=$2} END{print n}' /tmp/chain_r3.log 2>/dev/null)
   case "$cur" in
     bench_*|sweep_gnn_refresh|ab_pallas|calib_ur5|strict_audits)
       # calib/strict aren't timed but run close to their timeouts on the
