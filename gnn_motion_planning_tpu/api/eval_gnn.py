@@ -52,6 +52,8 @@ class _Planner(NamedTuple):
     fused_round: object  # edges + model + greedy search in ONE device call
     fused_smooth: object  # all 5 smoothing iterations in ONE device call
     serve_round: object  # sampling + edges + model + search in ONE call
+    serve_full: object  # whole problem (sample+round+backtrack+smooth) in ONE
+    round1_full: object  # protocol round 1 + backtrack + smooth in ONE call
 
 
 def get_planner(env) -> _Planner:
@@ -170,6 +172,141 @@ def get_planner(env) -> _Planner:
         )
         return res, v, prefix_len, n_coll, enough
 
+    def _backtrack_smooth(
+        params_s, cfg_s, scene, v, res, n_coll, F, l_pad, smooth_iters,
+        loop_s,
+    ):
+        """Shared device tail: path backtrack through the search-tree
+        parents + all smoother iterations, entirely on device.
+
+        Mirrors the host pipeline backtrack() -> model_smooth() bit-for-bit
+        (incl. the [:500] free-list truncation quirk, reference
+        smoother.py:57-58, and last-waypoint padding). ``fits`` is False
+        when the path exceeds the static ``l_pad`` buffer — callers fall
+        back to the host pipeline then (never observed at l_pad=64 on the
+        shipped problem sets).
+        """
+
+        d = v.shape[1]
+
+        # --- device backtrack: follow tree parents from the goal node ---
+        s = jnp.maximum(res.success_node, 0)
+        prev = res.prev
+
+        def bt_cond(c):
+            _, i, n = c
+            return (i != 0) & (n < l_pad)
+
+        def bt_body(c):
+            buf, i, n = c
+            buf = buf.at[n].set(i)
+            return buf, prev[i], n + 1
+
+        buf, last, n_rev = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (jnp.zeros((l_pad,), jnp.int32), s, jnp.int32(0)),
+        )
+        fits = (last == 0) & res.success
+        n_path = n_rev + 1  # buf holds [s, ..., child-of-root]; root is idx 0
+        j = jnp.arange(l_pad)
+        idx_path = jnp.where(
+            j == 0, 0, buf[jnp.clip(n_rev - j, 0, l_pad - 1)]
+        )
+        raw_path = v[idx_path]  # (l_pad, d)
+        pad_wp = v[s]
+        raw_path = jnp.where((j < n_path)[:, None], raw_path, pad_wp[None])
+        path_mask = j < n_path
+
+        # --- smoothing inputs (model_smooth construction, incl. zeroed
+        # invalid rows so outputs match the host path bitwise) ---
+        nf_cap = min(F, 500)
+        nc_cap = min(F, 500)
+        env_nodes = jnp.zeros((1000, d), jnp.float32)
+        env_nodes = env_nodes.at[:nf_cap].set(v[:nf_cap])
+        env_nodes = env_nodes.at[500 : 500 + nc_cap].set(v[F : F + nc_cap])
+        jj = jnp.arange(1000)
+        env_valid = (jj < nf_cap) | (
+            (jj >= 500) & (jj < 500 + jnp.minimum(n_coll, nc_cap))
+        )
+        env_nodes = jnp.where(env_valid[:, None], env_nodes, 0.0)
+        n_free_s = jnp.int32(nf_cap)
+
+        bs, bd, _ = base_chain_edges(l_pad, l_pad)
+        bs = jnp.asarray(bs)
+        bd = jnp.asarray(bd)
+        alive_pairs = jnp.repeat(jnp.arange(1, l_pad) < n_path, 2)
+        alive_self = j < n_path
+        ba = jnp.concatenate([alive_pairs, alive_self])
+
+        path = raw_path
+        count = jnp.int32(0)
+        for _ in range(smooth_iters):
+            proposal = smoother_forward(
+                params_s, cfg_s, path, path_mask, env_nodes, env_valid,
+                n_free_s, bs, bd, ba, loop=loop_s,
+            )
+            path, cnt = project_core(scene, path, proposal, n_path)
+            count = count + cnt
+
+        return raw_path, path, n_path, fits, count
+
+    def _serve_full(
+        params, cfg, params_s, cfg_s, scene, key, lower, upper, init, goal,
+        obstacles, obs_mask, batch, k1, loop, loop_s, oversample, l_pad,
+        smooth_iters,
+    ):
+        """Minimum-latency serving: the WHOLE problem — rejection sampling,
+        RGG build, explorer forward, greedy search, path backtrack, and all
+        smoother iterations — as ONE device call. Over a tunnel-attached
+        TPU the per-dispatch roundtrip is a large fraction of per-problem
+        latency; this path pays it exactly once.
+        """
+
+        res, v, prefix_len, n_coll, enough = _serve_round(
+            params, cfg, scene, key, lower, upper, init, goal, obstacles,
+            obs_mask, batch, k1, loop, oversample,
+        )
+        raw_path, path, n_path, fits, count = _backtrack_smooth(
+            params_s, cfg_s, scene, v, res, n_coll, batch + 2, l_pad,
+            smooth_iters, loop_s,
+        )
+        return (
+            res.success, res.n_checks, res.explored, raw_path, path,
+            n_path, fits, prefix_len, n_coll, count, enough,
+        )
+
+    def _round1_full(
+        params, cfg, params_s, cfg_s, scene, v, node_valid, goal, obstacles,
+        obs_mask, collided_mask, n_coll, n_free, k1, loop, loop_s, l_pad,
+        smooth_iters,
+    ):
+        """Protocol round 1 + fused smoothing: graph build + explorer
+        forward + greedy search + path backtrack + all smoother iterations
+        in ONE device call. Sampling stays on the host MT19937 protocol
+        stream, search state is initialized on device (skips the (N, N)
+        zeros upload), and the smoothing replicates model_smooth exactly —
+        so results are bit-identical to the unfused scalar pipeline while
+        paying the device-dispatch roundtrip once per problem."""
+
+        n = v.shape[0]
+        edges = build_rgg_edges(v, node_valid, n_free, k1)
+        policy = explorer_forward(
+            params, cfg, v, node_valid, goal, edges.src, edges.dst,
+            edges.alive, obstacles, obs_mask, loop=loop,
+        )
+        res = round_core(
+            scene, v, goal, policy, edges, collided_mask, node_valid,
+            jnp.zeros(n, bool).at[0].set(True),
+            jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.float32),
+            jnp.zeros((n, n), bool),
+        )
+        raw_path, sm_path, n_path, fits, sm_count = _backtrack_smooth(
+            params_s, cfg_s, scene, v, res, n_coll, n_free, l_pad,
+            smooth_iters, loop_s,
+        )
+        return res, raw_path, sm_path, n_path, fits, sm_count
+
     def _fused_smooth(
         params, cfg, scene, path, path_mask, env_nodes, env_valid, n_free_s,
         base_src, base_dst, base_alive, n_path, iters, loop,
@@ -211,6 +348,20 @@ def get_planner(env) -> _Planner:
         serve_round=jax.jit(
             _serve_round,
             static_argnames=("cfg", "batch", "k1", "loop", "oversample"),
+        ),
+        serve_full=jax.jit(
+            _serve_full,
+            static_argnames=(
+                "cfg", "cfg_s", "batch", "k1", "loop", "loop_s",
+                "oversample", "l_pad", "smooth_iters",
+            ),
+        ),
+        round1_full=jax.jit(
+            _round1_full,
+            static_argnames=(
+                "cfg", "cfg_s", "n_free", "k1", "loop", "loop_s", "l_pad",
+                "smooth_iters",
+            ),
         ),
     )
     env._gmp_planner = planner
@@ -310,6 +461,20 @@ def explore(
     obstacles, obs_mask = env.obs_tokens()
     goal = jnp.asarray(np.asarray(env.goal_state, np.float32))
 
+    # resolve the smoother choice upfront (maze3: the reference names
+    # smooth_3d_attv3.pt but ships only the legacy smooth_3d_att.pt, which
+    # its own ModelSmoother cannot load — str2name.py:25 vs data/weights/)
+    if (
+        smooth
+        and smoother == "model"
+        and getattr(model_s, "params", None) is None
+    ):
+        smoother = "oracle"
+    # model smoothing on a first-round success runs fused into the round
+    # call (bit-identical results, one device dispatch per problem)
+    fuse_smooth = smooth and smoother == "model"
+    fused_sm = None  # (smooth_path_dev, n_path, sm_count) when fused
+
     state = None  # persistent (explored, prev, costs, edge_dead) as numpy
     v_np = None
     while not success and (len(free) - 2) <= t_max:
@@ -326,6 +491,61 @@ def explore(
         collided_mask[F : F + C] = True
 
         v_dev = jnp.asarray(v_np)
+
+        if state is None and fuse_smooth:
+            t1 = time()
+            res, _raw_d, sm_d, npth_d, fits_d, smc_d = planner.round1_full(
+                model.params,
+                model.cfg,
+                model_s.params,
+                model_s.cfg,
+                scene,
+                v_dev,
+                jnp.asarray(node_valid),
+                goal,
+                jnp.asarray(obstacles),
+                jnp.asarray(obs_mask),
+                jnp.asarray(collided_mask),
+                jnp.int32(C),
+                n_free=F,
+                k1=k_scaled(k, F),
+                loop=loop,
+                loop_s=1,
+                l_pad=64,
+                smooth_iters=5,
+            )
+            jax.block_until_ready(res.success)
+            forward += time() - t1
+            success = bool(res.success)
+            env.collision_check_count += int(res.n_checks)
+            if success:
+                state = (
+                    np.asarray(res.explored), np.asarray(res.prev), None, None
+                )
+                if bool(fits_d):
+                    fused_sm = (sm_d, int(npth_d), int(smc_d))
+                idx_path = backtrack(
+                    np.asarray(res.prev), int(res.success_node)
+                )
+                path = [v_np[i] for i in idx_path]
+                continue
+            state = (
+                np.asarray(res.explored),
+                np.asarray(res.prev),
+                np.asarray(res.costs),
+                np.asarray(res.edge_dead),
+            )
+            if not smooth:
+                return []
+            if (n_batch + len(free) - 2) > t_max:
+                break
+            new_free, new_collided = env.sample_n_points(
+                n_batch, need_negative=True
+            )
+            free = free + [np.asarray(f) for f in new_free]
+            collided = collided + list(new_collided)
+            collided = collided[: len(free)]
+            continue
 
         if state is None:
             explored = np.zeros(N, bool)
@@ -395,13 +615,13 @@ def explore(
     c1 = env.collision_check_count
     t1 = time()
     if success and smooth:
-        if smoother == "model" and getattr(model_s, "params", None) is None:
-            # no loadable smoother checkpoint for this env (maze3: the
-            # reference names smooth_3d_attv3.pt but ships only the legacy
-            # smooth_3d_att.pt, which its own ModelSmoother cannot load —
-            # str2name.py:25 vs data/weights/) — smooth with the oracle
-            smoother = "oracle"
-        if smoother == "model":
+        if fused_sm is not None:
+            # smoothing already ran inside the round-1 device call
+            sm_d, n_p, smc = fused_sm
+            smp = np.asarray(sm_d)[:n_p]
+            smooth_path = [smp[i] for i in range(n_p)]
+            env.collision_check_count += smc
+        elif smoother == "model":
             smooth_path = model_smooth(model_s, free, collided, path, env)
         elif smoother == "oracle":
             from gnn_motion_planning_tpu.planners.oracle_smoother import (
@@ -471,6 +691,61 @@ def explore_serve(
 
         lim = np.asarray(LIMITS[: env.config_dim], np.float32)
         pr = np.stack([-lim, lim], axis=1)
+    if smooth and getattr(model_s, "params", None) is not None:
+        # fully fused path: sampling + round + backtrack + smoothing in ONE
+        # device call (pays the tunnel dispatch roundtrip exactly once)
+        (success_d, n_checks, explored_d, raw_path, sm_path, n_path, fits,
+         prefix_len, n_coll, sm_count, enough) = planner.serve_full(
+            model.params,
+            model.cfg,
+            model_s.params,
+            model_s.cfg,
+            scene,
+            key,
+            jnp.asarray(pr[:, 0]),
+            jnp.asarray(pr[:, 1]),
+            jnp.asarray(np.asarray(env.init_state, np.float32)),
+            jnp.asarray(np.asarray(env.goal_state, np.float32)),
+            jnp.asarray(obstacles),
+            jnp.asarray(obs_mask),
+            batch=batch,
+            k1=k_scaled(k, batch + 2),
+            loop=loop,
+            loop_s=1,
+            oversample=oversample,
+            l_pad=64,
+            smooth_iters=5,
+        )
+        jax.block_until_ready(success_d)
+        ok = bool(success_d) and bool(enough) and bool(fits)
+        if not ok:
+            # count the consumed sampling+round checks (the smoothing ran on
+            # a garbage path and is NOT protocol work), then fall back
+            env.collision_check_count += int(prefix_len) + int(n_checks)
+            return explore(env, model, model_s, smooth=smooth, batch=batch,
+                           k=k, loop=loop)
+        env.collision_check_count += (
+            int(prefix_len) + int(n_checks) + int(sm_count)
+        )
+        c_explore = int(prefix_len) + int(n_checks)
+        t1 = time()
+        n_p = int(n_path)
+        raw = np.asarray(raw_path)[:n_p]
+        smp = np.asarray(sm_path)[:n_p]
+        total = time()
+        return {
+            "c_explore": c_explore,
+            "c_smooth": int(sm_count),
+            "explored": list(np.nonzero(np.asarray(explored_d))[0]),
+            "forward": t1 - t0,
+            "total": total - t0,
+            "total_explore": t1 - t0,
+            "success": True,
+            "path": [raw[i] for i in range(n_p)],
+            "smooth_path": [smp[i] for i in range(n_p)],
+            "v": None,
+        }
+
     res, v, n_sample_checks, n_coll, enough = planner.serve_round(
         model.params,
         model.cfg,

@@ -109,3 +109,75 @@ def test_serve_mode_plans_and_accounts():
     assert r[0] == 3  # all solved
     assert r[1] > 0  # collision checks accounted
     assert np.isfinite(r[3])
+
+
+@pytest.mark.slow
+def test_serve_full_matches_two_call():
+    """The fully-fused serve path (ONE device call per problem) must produce
+    the same plan, smooth path, and check accounting as the 2-call
+    composition it fuses: serve_round -> host backtrack -> model_smooth."""
+
+    import jax
+
+    from gnn_motion_planning_tpu.api.eval_gnn import (
+        explore_serve,
+        get_planner,
+        k_scaled,
+        model_smooth,
+    )
+    from gnn_motion_planning_tpu.api.registry import str2name
+    from gnn_motion_planning_tpu.config import problem_rng
+    from gnn_motion_planning_tpu.planners.gnn_explore import backtrack
+
+    import jax.numpy as jnp
+
+    _, model, _, model_s, _ = str2name("maze2easy")
+    assert model_s.params is not None
+    batch, index = 100, 2000
+    key = jax.random.PRNGKey(7)
+
+    # fused path
+    env, _ = str2env("maze2easy")
+    env.rng = problem_rng(1234, index)
+    env.init_new_problem(index)
+    c0 = env.collision_check_count
+    r = explore_serve(env, model, model_s, key, batch=batch)
+    assert r["success"]
+    fused_checks = env.collision_check_count - c0
+
+    # two-call replication (the pre-fusion serve composition)
+    env2, _ = str2env("maze2easy")
+    env2.rng = problem_rng(1234, index)
+    env2.init_new_problem(index)
+    planner = get_planner(env2)
+    from gnn_motion_planning_tpu.envs.env_config import LIMITS
+
+    lim = np.asarray(LIMITS[: env2.config_dim], np.float32)
+    res, v, n_sample_checks, n_coll, enough = planner.serve_round(
+        model.params, model.cfg, env2.device_scene(), key,
+        jnp.asarray(-lim), jnp.asarray(lim),
+        jnp.asarray(np.asarray(env2.init_state, np.float32)),
+        jnp.asarray(np.asarray(env2.goal_state, np.float32)),
+        jnp.asarray(env2.obs_tokens()[0]), jnp.asarray(env2.obs_tokens()[1]),
+        batch=batch, k1=k_scaled(30, batch + 2), loop=5, oversample=4,
+    )
+    assert bool(enough) and bool(res.success)
+    v_np = np.asarray(v)
+    idx_path = backtrack(np.asarray(res.prev), int(res.success_node))
+    path2 = [v_np[i] for i in idx_path]
+    F = batch + 2
+    free = [v_np[i] for i in range(F)]
+    collided = [v_np[F + i] for i in range(int(n_coll))]
+    env2.collision_check_count = 0
+    smooth2 = model_smooth(model_s, free, collided, path2, env2)
+    two_call_checks = (
+        int(n_sample_checks) + int(res.n_checks) + env2.collision_check_count
+    )
+
+    assert fused_checks == two_call_checks
+    np.testing.assert_allclose(
+        np.asarray(r["path"]), np.asarray(path2), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(r["smooth_path"]), np.asarray(smooth2), atol=1e-5
+    )
