@@ -48,39 +48,52 @@ def make_projection_core(kernels: EnvKernels, rrt_eps: float):
             )
 
         def _body_step(c: _PCarry) -> _PCarry:
+            # The reference sweep (smoother.py:203-214) is a Gauss-Seidel
+            # chain: node i's accept test checks the segment to node i-1's
+            # *updated* value. That value has only two possibilities —
+            # cand_{i-1} (accepted) or old_{i-1} (kept) — so all edge
+            # checks are hoisted out of the chain: ONE batched kernel
+            # evaluates both prev variants plus the next-segment check for
+            # every node, and a scalar boolean scan resolves acceptance.
+            # Bit-identical to the sequential sweep (same checks, same
+            # counts, same accumulation order) at ~1/L the sequential depth.
             path = c.path
 
-            def scan_body(carry, i):
-                prev_val, count, diff = carry
-                old_n = path[i]
-                new_n = new_path[i]
-                dist = jnp.linalg.norm(old_n - new_n)
-                cand = jnp.where(
-                    dist < rrt_eps,
-                    new_n,
-                    kernels.interpolate(
-                        old_n, new_n, rrt_eps / jnp.maximum(dist, 1e-30)
-                    ),
-                )
-                nxt = path[jnp.minimum(i + 1, L - 1)]
-                ok1, c1 = kernels.edge_free(scene, prev_val, cand)
-                ok2, c2 = kernels.edge_free(scene, nxt, cand)
-                interior = (i >= 1) & (i <= n_path - 2)
-                ok = ok1 & ok2
-                out_val = jnp.where(interior & ok, cand, old_n)
-                count = count + jnp.where(
-                    interior, c1 + jnp.where(ok1, c2, 0), 0
-                )
-                diff = diff + jnp.where(
-                    interior & ok, jnp.linalg.norm(out_val - new_n), 0.0
-                )
-                return (out_val, count, diff), out_val
+            dist = jnp.linalg.norm(path - new_path, axis=-1)
+            steer = jax.vmap(
+                lambda a, b, r: kernels.interpolate(a, b, r)
+            )(path, new_path, rrt_eps / jnp.maximum(dist, 1e-30))
+            cand = jnp.where((dist < rrt_eps)[:, None], new_path, steer)
 
-            (_, count, diff), outs = jax.lax.scan(
-                scan_body,
-                (path[0], c.count, jnp.float32(0.0)),
-                jnp.arange(L),
+            i = jnp.arange(L)
+            prev_old = path[jnp.maximum(i - 1, 0)]
+            prev_cand = cand[jnp.maximum(i - 1, 0)]
+            nxt = path[jnp.minimum(i + 1, L - 1)]
+            check = jax.vmap(lambda a, b: kernels.edge_free(scene, a, b))
+            okA, cA = check(prev_old, cand)  # prev kept its old value
+            okB, cB = check(prev_cand, cand)  # prev accepted its cand
+            ok2, c2 = check(nxt, cand)
+            interior = (i >= 1) & (i <= n_path - 2)
+            dnorm = jnp.linalg.norm(cand - new_path, axis=-1)
+
+            def resolve(carry, x):
+                prev_acc, count, diff = carry
+                (okA_i, cA_i, okB_i, cB_i, ok2_i, c2_i, int_i, dn_i) = x
+                ok1 = jnp.where(prev_acc, okB_i, okA_i)
+                c1 = jnp.where(prev_acc, cB_i, cA_i)
+                acc = int_i & ok1 & ok2_i
+                count = count + jnp.where(
+                    int_i, c1 + jnp.where(ok1, c2_i, 0), 0
+                )
+                diff = diff + jnp.where(acc, dn_i, 0.0)
+                return (acc, count, diff), acc
+
+            (_, count, diff), accepted = jax.lax.scan(
+                resolve,
+                (jnp.asarray(False), c.count, jnp.float32(0.0)),
+                (okA, cA, okB, cB, ok2, c2, interior, dnorm),
             )
+            outs = jnp.where(accepted[:, None], cand, path)
             return _PCarry(
                 path=outs,
                 k=c.k + 1,

@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 from time import time
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
