@@ -138,11 +138,17 @@ def make_chain_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKer
         return free, count.astype(jnp.int32)
 
     # whole-batch states-free via the Pallas SoA narrow-phase kernel
-    # (ops/pallas_capsule.py). Gated until the chip A/B (tools/ab_capsule.py)
-    # shows it beating vmap(state_free); decisions are pinned bit-equal by
-    # tests/test_pallas_capsule.py either way.
+    # (ops/pallas_capsule.py): ON by default on TPU — the chip A/B
+    # (tools/ab_capsule.py, assets/benchmarks/ab_capsule.json) measures it
+    # 1.77x (kuka7) / 1.70x (ur5 capsules) over vmap(state_free) with
+    # bit-equal decisions (also pinned by tests/test_pallas_capsule.py).
+    # GMP_PALLAS_CAPSULE=0 forces the XLA path; =1 forces Pallas even on
+    # CPU (interpreter — tests only).
     batch_state_free = None
-    if os.environ.get("GMP_PALLAS_CAPSULE", "0") == "1":
+    _pallas_flag = os.environ.get("GMP_PALLAS_CAPSULE", "auto")
+    if _pallas_flag == "1" or (
+        _pallas_flag != "0" and jax.default_backend() == "tpu"
+    ):
         from gnn_motion_planning_tpu.ops.pallas_capsule import capsules_hit
 
         def batch_state_free(scene: BoxScene, qs: jnp.ndarray):
