@@ -74,3 +74,94 @@ def test_interpolate_path(maze_path):
         for a, b in zip(dense[:-1], dense[1:])
     ]
     assert max(steps) <= env.RRT_EPS + 1e-9
+
+
+def test_projection_matches_sequential_sweep(maze_path):
+    """The batched projection sweep (gnn_smooth._body_step hoists the edge
+    checks out of the Gauss-Seidel chain) must be bit-identical to a
+    straightforward sequential implementation of the reference semantics
+    (proposed_path_smootherv2, reference smoother.py:194-216): same
+    accepted nodes, same waypoints, same check counts."""
+
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.planners.gnn_smooth import make_projection
+
+    env, path = maze_path
+    kernels = env.kernels()
+    scene = env.device_scene()
+    eps = float(env.RRT_EPS)
+    project = make_projection(kernels, eps)
+
+    rng = np.random.default_rng(0)
+    L = 16
+    for trial in range(4):
+        n_path = int(rng.integers(4, L + 1))
+        old = np.asarray(path[0], np.float32) + 0.0  # anchor in-bounds
+        old_path = rng.uniform(-1, 1, (L, len(old))).astype(np.float32)
+        proposal = old_path + rng.normal(0, 0.3, old_path.shape).astype(
+            np.float32
+        )
+
+        # sequential reference sweep (host, same kernels)
+        def seq_project(old_path, new_path, n_path):
+            pth = old_path.copy()
+            count = 0
+            K = int(
+                np.ceil(
+                    np.max(
+                        np.linalg.norm(pth - new_path, axis=-1)[:n_path]
+                    )
+                    / eps
+                )
+            )
+            for _ in range(K):
+                prev_val = pth[0]
+                diff = 0.0
+                base = pth.copy()
+                for i in range(L):
+                    old_n = base[i]
+                    new_n = new_path[i]
+                    dist = np.linalg.norm(old_n - new_n)
+                    if dist < eps:
+                        cand = new_n
+                    else:
+                        cand = np.asarray(
+                            kernels.interpolate(
+                                jnp.asarray(old_n),
+                                jnp.asarray(new_n),
+                                eps / max(dist, 1e-30),
+                            )
+                        )
+                    nxt = base[min(i + 1, L - 1)]
+                    ok1, c1 = kernels.edge_free(
+                        scene, jnp.asarray(prev_val), jnp.asarray(cand)
+                    )
+                    ok2, c2 = kernels.edge_free(
+                        scene, jnp.asarray(nxt), jnp.asarray(cand)
+                    )
+                    ok1, ok2, c1, c2 = bool(ok1), bool(ok2), int(c1), int(c2)
+                    interior = 1 <= i <= n_path - 2
+                    acc = interior and ok1 and ok2
+                    out_val = cand if acc else old_n
+                    if interior:
+                        count += c1 + (c2 if ok1 else 0)
+                    if acc:
+                        diff += float(np.linalg.norm(out_val - new_n))
+                    pth[i] = out_val
+                    prev_val = out_val
+                if diff < 1e-5:
+                    break
+            return pth, count
+
+        want_path, want_count = seq_project(old_path, proposal, n_path)
+        got_path, got_count = project(
+            scene,
+            jnp.asarray(old_path),
+            jnp.asarray(proposal),
+            jnp.int32(n_path),
+        )
+        assert int(got_count) == want_count, f"trial {trial}"
+        np.testing.assert_allclose(
+            np.asarray(got_path), want_path, atol=1e-6, err_msg=f"trial {trial}"
+        )
