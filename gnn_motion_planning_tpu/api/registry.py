@@ -92,6 +92,12 @@ _SPECS = {
     "snake7": dict(
         explorer=dict(workspace_size=3, config_size=7, embed_size=32, obs_size=2),
         explorer_ckpt="data/weights/weights_snake.pt",
+        # snake7 runs on a regenerated problem set (upstream ships none);
+        # the upstream snake weights were trained on upstream's own
+        # (unavailable) dataset, so a checkpoint fine-tuned on the
+        # regenerated PRM data replaces them when present
+        # (tools/train_scratch.py explorer snake7 --finetune)
+        explorer_ft="weights_snake_ft.npz",
         smoother=dict(workspace_size=3, config_size=7, embed_size=128, obs_size=6),
         smoother_ckpt="data/weights/smooth_snake_attv3.pt",
         data="data/pkl/snake_prm_3000.pkl",
@@ -144,6 +150,30 @@ def _spec_key(name: str) -> str:
     return name
 
 
+def _load_explorer_params(spec, ckpt: str):
+    """Explorer params: the converted upstream checkpoint, unless the spec
+    names a fine-tuned replacement (``explorer_ft``) and it exists —
+    configs on regenerated datasets (snake7) prefer weights trained on the
+    data they are evaluated with."""
+
+    ft_name = spec.get("explorer_ft")
+    if ft_name and "_pure" not in ckpt:  # obstacle-free ablation keeps .pt
+        from pathlib import Path
+
+        ft = (
+            Path(__file__).resolve().parents[2]
+            / "assets" / "weights_jax" / ft_name
+        )
+        if ft.exists():
+            import numpy as np
+
+            from gnn_motion_planning_tpu.models.convert import _nest
+
+            with np.load(ft) as f:
+                return _nest({k: f[k] for k in f.files})
+    return load_params(ckpt)
+
+
 def _load_smoother_params(ckpt: str):
     """Smoother params, or None when only a legacy-architecture checkpoint
     exists. The reference names the maze3 smoother smooth_3d_attv3.pt but
@@ -184,7 +214,7 @@ def str2models(name: str, use_obstacle: bool = True, scale: float = 1.0):
     if not use_obstacle:
         explorer_ckpt = explorer_ckpt.replace(".pt", "_pure.pt")
     explorer = ExplorerModel(
-        params=load_params(explorer_ckpt),
+        params=_load_explorer_params(spec, explorer_ckpt),
         cfg=ExplorerConfig(use_obstacles=use_obstacle, **spec["explorer"]),
     )
     smoother = SmootherModel(
@@ -230,7 +260,8 @@ def str2name(name: str, get_data: bool = False, use_obstacle: bool = True, load:
     smoother_cfg = SmootherConfig(scale=scale, **spec["smoother"])
 
     explorer = ExplorerModel(
-        params=load_params(explorer_ckpt) if load else None, cfg=explorer_cfg
+        params=_load_explorer_params(spec, explorer_ckpt) if load else None,
+        cfg=explorer_cfg,
     )
     smoother = SmootherModel(
         params=_load_smoother_params(spec["smoother_ckpt"]) if load else None,

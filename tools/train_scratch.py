@@ -31,18 +31,31 @@ SCRATCH_NAMES = {
     ("explorer", "maze2easy"): "weights_maze_scratch.npz",
     ("explorer", "maze3"): "weights_maze_3_scratch.npz",
     ("explorer", "kuka7"): "weights_kuka_scratch.npz",
+    ("explorer", "snake7"): "weights_snake_scratch.npz",
     ("smoother", "maze2"): "smooth_2d_scratch.npz",
     ("smoother", "maze3"): "smooth_3d_scratch.npz",
     ("smoother", "kuka7"): "smooth_7d_scratch.npz",
 }
 
 
-def train_explorer_scratch(config: str, epoch: int = 2000, iters: int = 20):
+def train_explorer_scratch(
+    config: str, epoch: int = 2000, iters: int = 20, finetune: bool = False
+):
     from gnn_motion_planning_tpu.api.registry import str2name
     from gnn_motion_planning_tpu.training.explorer import train_explorer
 
-    env, model, _, _, _, data_path = str2name(config, get_data=True, load=False)
-    out = OUT_DIR / SCRATCH_NAMES[("explorer", config)]
+    env, model, _, _, _, data_path = str2name(
+        config, get_data=True, load=finetune
+    )
+    if finetune:
+        # start from the converted upstream weights and adapt them to the
+        # regenerated dataset (registry picks the result up via the spec's
+        # explorer_ft field)
+        out = OUT_DIR / SCRATCH_NAMES[("explorer", config)].replace(
+            "_scratch", "_ft"
+        )
+    else:
+        out = OUT_DIR / SCRATCH_NAMES[("explorer", config)]
     if out.exists():
         # resume: continue from the existing scratch checkpoint
         from gnn_motion_planning_tpu.models.convert import _nest
@@ -50,7 +63,9 @@ def train_explorer_scratch(config: str, epoch: int = 2000, iters: int = 20):
         with np.load(out) as f:
             model = model._replace(params=_nest({k: f[k] for k in f.files}))
         print(f"resuming from {out}", flush=True)
-    log = LOG_DIR / f"{config}_explorer_scratch"
+    log = LOG_DIR / (
+        f"{config}_explorer_ft" if finetune else f"{config}_explorer_scratch"
+    )
     log.mkdir(parents=True, exist_ok=True)
     t0 = time()
     params, losses = train_explorer(
@@ -125,9 +140,10 @@ def train_smoother_scratch(
 
 if __name__ == "__main__":
     kind, config = sys.argv[1], sys.argv[2]
-    args = [int(a) for a in sys.argv[3:]]
+    finetune = "--finetune" in sys.argv
+    args = [int(a) for a in sys.argv[3:] if not a.startswith("--")]
     if kind == "explorer":
-        train_explorer_scratch(config, *args)
+        train_explorer_scratch(config, *args, finetune=finetune)
     elif kind == "smoother":
         train_smoother_scratch(config, *args)
     else:
