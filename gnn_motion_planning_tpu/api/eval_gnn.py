@@ -529,12 +529,10 @@ def explore(
                 )
                 path = [v_np[i] for i in idx_path]
                 continue
-            state = (
-                np.asarray(res.explored),
-                np.asarray(res.prev),
-                np.asarray(res.costs),
-                np.asarray(res.edge_dead),
-            )
+            # keep the resume state on device: the (N, N) edge_dead mask is
+            # up to 16 MB and re-uploading it each resample round costs
+            # more than the round itself over a tunnel-attached TPU
+            state = (res.explored, res.prev, res.costs, res.edge_dead)
             if not smooth:
                 return []
             if (n_batch + len(free) - 2) > t_max:
@@ -548,20 +546,19 @@ def explore(
             continue
 
         if state is None:
-            explored = np.zeros(N, bool)
-            explored[0] = True
-            prev = np.zeros(N, np.int32)
-            costs = np.zeros(N, np.float32)
-            edge_dead = np.zeros((N, N), bool)
+            explored = jnp.zeros(N, bool).at[0].set(True)
+            prev = jnp.zeros(N, jnp.int32)
+            costs = jnp.zeros(N, jnp.float32)
+            edge_dead = jnp.zeros((N, N), bool)
         else:
             explored, prev, costs, edge_dead = state
             n_old = explored.shape[0]
-            explored = np.pad(explored, (0, N - n_old))
-            prev = np.pad(prev, (0, N - n_old))
-            costs = np.pad(costs, (0, N - n_old))
-            edge_dead = np.pad(
-                edge_dead, ((0, N - n_old), (0, N - n_old))
-            )
+            pad = N - n_old
+            if pad:  # grow the device-resident state in place
+                explored = jnp.pad(explored, (0, pad))
+                prev = jnp.pad(prev, (0, pad))
+                costs = jnp.pad(costs, (0, pad))
+                edge_dead = jnp.pad(edge_dead, ((0, pad), (0, pad)))
 
         t1 = time()
         res = planner.fused_round(
@@ -592,14 +589,8 @@ def explore(
             idx_path = backtrack(np.asarray(res.prev), int(res.success_node))
             path = [v_np[i] for i in idx_path]
         else:
-            # the (N, N) edge-dead mask is only needed to seed a resample
-            # round; skip the device->host copy on the success path
-            state = (
-                np.asarray(res.explored),
-                np.asarray(res.prev),
-                np.asarray(res.costs),
-                np.asarray(res.edge_dead),
-            )
+            # keep the resume state on device (see the round-1 branch)
+            state = (res.explored, res.prev, res.costs, res.edge_dead)
             if not smooth:
                 return []
             if (n_batch + len(free) - 2) > t_max:
@@ -637,7 +628,7 @@ def explore(
         return path, free, collided
 
     explored_idx = (
-        list(np.nonzero(state[0])[0]) if state is not None else [0]
+        list(np.nonzero(np.asarray(state[0]))[0]) if state is not None else [0]
     )
     total_time = time()
     return {
