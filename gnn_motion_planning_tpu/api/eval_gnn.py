@@ -1008,6 +1008,10 @@ def explore_batch(
                 )
                 continue
             bucket = 1 << int(np.ceil(np.log2(keep.size)))
+            # cap at the current stacked width: the full-width program is
+            # already compiled, so e.g. 20 survivors of a 25-wide group reuse
+            # the 25-wide program instead of compiling a fresh 32-wide one
+            # (widths visited stay bounded: B, then powers of two below it)
             bucket = min(bucket, len(pool))
             pad = bucket - keep.size
             sel = np.concatenate([keep, np.repeat(keep[:1], pad)])
