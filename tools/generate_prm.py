@@ -84,22 +84,33 @@ def construct_graph_batched(env, points):
     return edge_cost, neighbors, edge_index, edge_free
 
 
-def main(env_name: str, n_problems=None, seed: int = 1234):
+def main(env_name: str, n_problems=None, seed: int = 1234, resume: bool = False):
     from gnn_motion_planning_tpu.api.registry import str2env
 
     out_name, default_n, train_limit = OUT_NAMES[env_name]
     n_problems = n_problems or default_n
     lookup = {"maze2": "maze2easy", "maze3": "maze3"}
     env, _ = str2env(lookup.get(env_name, env_name))
-    rng = HostRNG(seed)
+
+    data = []
+    start = 0
+    if resume:
+        prev = REPO / "assets" / "data" / "pkl" / out_name
+        if prev.exists():
+            with open(prev, "rb") as f:
+                data = pickle.load(f)
+            start = len(data)
+            print(f"resuming at graph {start}/{n_problems}", flush=True)
+    # training-data streams need not be contiguous across a resume; offset
+    # the seed so the continued run draws fresh graphs rather than repeats
+    rng = HostRNG(seed + start)
     env.rng = rng
 
     n_avail = len(getattr(env, "problems", None) or env.order)
     cycle = min(train_limit, n_avail) if train_limit else n_avail
 
-    data = []
     t0 = time()
-    for index in range(n_problems):
+    for index in range(start, n_problems):
         env.init_new_problem(index % cycle)
         points = np.asarray(env.uniform_sample(n=int(rng.randint(100, 400))))
         edge_cost, neighbors, edge_index, edge_free = construct_graph_batched(env, points)
@@ -107,7 +118,8 @@ def main(env_name: str, n_problems=None, seed: int = 1234):
         data.append((points, neighbors, edge_cost, edge_index, edge_free))
         if (index + 1) % 50 == 0:
             print(
-                f"{index + 1}/{n_problems} ({(time() - t0) / (index + 1):.2f}s/problem)",
+                f"{index + 1}/{n_problems} "
+                f"({(time() - t0) / (index + 1 - start):.2f}s/problem)",
                 flush=True,
             )
             out = REPO / "assets" / "data" / "pkl" / out_name
@@ -123,4 +135,9 @@ def main(env_name: str, n_problems=None, seed: int = 1234):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else None)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(
+        args[0],
+        int(args[1]) if len(args) > 1 else None,
+        resume="--resume" in sys.argv,
+    )
