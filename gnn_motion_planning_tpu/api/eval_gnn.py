@@ -89,6 +89,14 @@ def get_planner(env) -> _Planner:
 
     round_core = make_explore_round_core(kernels, float(env.RRT_EPS))
     project_core = make_projection_core(kernels, float(env.RRT_EPS))
+    # cheap-budget projection (K_CHEAP interpolation points per edge check
+    # instead of the space-diagonal worst case — envs/base.py): bit-identical
+    # unless it raises the overflow flag, in which case callers redo the
+    # smoothing with the full-budget program. On ur5 (k_max=289) this cuts
+    # the projection sweep's device work ~2.3x.
+    project_core_cheap = make_projection_core(
+        kernels, float(env.RRT_EPS), cheap=True
+    )
 
     def _fused_round(
         params, cfg, scene, v, node_valid, goal, obstacles, obs_mask,
@@ -174,7 +182,7 @@ def get_planner(env) -> _Planner:
 
     def _backtrack_smooth(
         params_s, cfg_s, scene, v, res, n_coll, F, l_pad, smooth_iters,
-        loop_s,
+        loop_s, cheap=True,
     ):
         """Shared device tail: path backtrack through the search-tree
         parents + all smoother iterations, entirely on device.
@@ -240,15 +248,18 @@ def get_planner(env) -> _Planner:
 
         path = raw_path
         count = jnp.int32(0)
+        ovf = jnp.asarray(False)
+        proj = project_core_cheap if cheap else project_core
         for _ in range(smooth_iters):
             proposal = smoother_forward(
                 params_s, cfg_s, path, path_mask, env_nodes, env_valid,
                 n_free_s, bs, bd, ba, loop=loop_s,
             )
-            path, cnt = project_core(scene, path, proposal, n_path)
+            path, cnt, ov = proj(scene, path, proposal, n_path)
             count = count + cnt
+            ovf = ovf | ov
 
-        return raw_path, path, n_path, fits, count
+        return raw_path, path, n_path, fits & ~ovf, count
 
     def _serve_full(
         params, cfg, params_s, cfg_s, scene, key, lower, upper, init, goal,
@@ -309,19 +320,26 @@ def get_planner(env) -> _Planner:
 
     def _fused_smooth(
         params, cfg, scene, path, path_mask, env_nodes, env_valid, n_free_s,
-        base_src, base_dst, base_alive, n_path, iters, loop,
+        base_src, base_dst, base_alive, n_path, iters, loop, cheap=True,
     ):
-        """All smoothing iterations (model proposal + projection) fused."""
+        """All smoothing iterations (model proposal + projection) fused.
+
+        With ``cheap=True`` the projection runs at the K_CHEAP budget and
+        the returned overflow flag tells the caller to redo with
+        ``cheap=False`` (bit-identical whenever the flag is False)."""
 
         count = jnp.int32(0)
+        ovf = jnp.asarray(False)
+        proj = project_core_cheap if cheap else project_core
         for _ in range(iters):
             proposal = smoother_forward(
                 params, cfg, path, path_mask, env_nodes, env_valid, n_free_s,
                 base_src, base_dst, base_alive, loop=loop,
             )
-            path, cnt = project_core(scene, path, proposal, n_path)
+            path, cnt, ov = proj(scene, path, proposal, n_path)
             count = count + cnt
-        return path, count
+            ovf = ovf | ov
+        return path, count, ovf
 
     planner = _Planner(
         round_fn=make_explore_round(kernels, float(env.RRT_EPS)),
@@ -335,7 +353,9 @@ def get_planner(env) -> _Planner:
         round_vchunk=make_explore_round_batch_chunked(
             kernels, float(env.RRT_EPS)
         ),
-        project_vfn=make_projection_batch(kernels, float(env.RRT_EPS)),
+        project_vfn=make_projection_batch(
+            kernels, float(env.RRT_EPS), cheap=True
+        ),
         model_vfwd=jax.jit(_model_v, static_argnames=("cfg", "loop")),
         smoother_vfwd=jax.jit(_smoother_v, static_argnames=("cfg", "loop")),
         edges_vfn=jax.jit(_edges_v, static_argnames=("n_free", "k1")),
@@ -343,7 +363,7 @@ def get_planner(env) -> _Planner:
             _fused_round, static_argnames=("cfg", "n_free", "k1", "loop")
         ),
         fused_smooth=jax.jit(
-            _fused_smooth, static_argnames=("cfg", "iters", "loop")
+            _fused_smooth, static_argnames=("cfg", "iters", "loop", "cheap")
         ),
         serve_round=jax.jit(
             _serve_round,
@@ -405,7 +425,7 @@ def model_smooth(model_s, free, collided, old_path, env, iter: int = 5):
     path_mask = np.zeros(l_pad, bool)
     path_mask[:L] = True
 
-    path_dev, cnt = planner.fused_smooth(
+    args = (
         model_s.params,
         model_s.cfg,
         scene,
@@ -418,9 +438,15 @@ def model_smooth(model_s, free, collided, old_path, env, iter: int = 5):
         jnp.asarray(base_dst),
         jnp.asarray(base_alive),
         jnp.int32(L),
-        iters=iter,
-        loop=1,
     )
+    path_dev, cnt, ovf = planner.fused_smooth(*args, iters=iter, loop=1)
+    if bool(ovf):
+        # a checked segment exceeded the cheap interpolation budget (rare:
+        # only very long segments); redo at the full budget — counts from
+        # the cheap run are discarded, the full run is the protocol result
+        path_dev, cnt, _ = planner.fused_smooth(
+            *args, iters=iter, loop=1, cheap=False
+        )
     env.collision_check_count += int(cnt)
 
     out = np.asarray(path_dev)[:L]
@@ -1077,6 +1103,8 @@ def explore_batch(
                 lambda *xs: jnp.stack(xs),
                 *[scenes[li] for li in lanes_idx + pad_rows],
             )
+            cnt_acc = np.zeros(P, np.int64)
+            ovf_acc = np.zeros(P, bool)
             for _ in range(5):
                 proposal = planner.smoother_vfwd(
                     model_s.params, model_s.cfg, path_dev, jnp.asarray(mask_arr),
@@ -1085,15 +1113,32 @@ def explore_batch(
                     jnp.asarray(np.stack(ba_l)), loop=1,
                 )
                 n_paths = jnp.asarray(mask_arr.sum(axis=1).astype(np.int32))
-                path_dev, cnts = planner.project_vfn(
+                path_dev, cnts, ovfs = planner.project_vfn(
                     scene_s, path_dev, proposal, n_paths
                 )
-                cnts = np.asarray(cnts)
-                for pi, li in enumerate(lanes_idx):
-                    smooth_counts[li] += int(cnts[pi])
+                cnt_acc += np.asarray(cnts)
+                ovf_acc |= np.asarray(ovfs)
             out_paths = np.asarray(path_dev)
             for pi, li in enumerate(lanes_idx):
                 L = len(paths[li])
+                if ovf_acc[pi]:
+                    # the cheap interpolation budget overflowed for this
+                    # lane: redo its smoothing at the full budget (scalar
+                    # fused program; the cheap run's counts are discarded)
+                    p_full, c_full, _ = planner.fused_smooth(
+                        model_s.params, model_s.cfg,
+                        jax.tree.map(lambda x: x[pi], scene_s),
+                        jnp.asarray(path_arr[pi]), jnp.asarray(mask_arr[pi]),
+                        jnp.asarray(envn[pi]), jnp.asarray(envv[pi]),
+                        jnp.int32(nfree[pi]), jnp.asarray(bs_l[pi]),
+                        jnp.asarray(bd_l[pi]), jnp.asarray(ba_l[pi]),
+                        jnp.int32(L), iters=5, loop=1, cheap=False,
+                    )
+                    smooth_counts[li] += int(c_full)
+                    p_full = np.asarray(p_full)
+                    smooth_paths[li] = [p_full[i] for i in range(L)]
+                    continue
+                smooth_counts[li] += int(cnt_acc[pi])
                 smooth_paths[li] = [out_paths[pi, i] for i in range(L)]
         elif smooth and paths:
             # no loadable model smoother for this env (e.g. maze3, see

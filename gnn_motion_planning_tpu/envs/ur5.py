@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_motion_planning_tpu.envs.base import EnvKernels
+from gnn_motion_planning_tpu.envs.base import (
+    EnvKernels,
+    K_CHEAP,
+    make_fixed_step_edge_free,
+)
 from gnn_motion_planning_tpu.envs.geometry import seg_box_sq_dist, seg_seg_sq_dist
 from gnn_motion_planning_tpu.envs.kinematics import (
     capsules_world,
@@ -150,35 +154,22 @@ def make_ur5_kernels(chain, geom: UR5Geom, rrt_eps: float, k_max: int) -> EnvKer
     def interpolate(a, b, ratio):
         return jnp.clip(a + (b - a) * ratio, chain.lower, chain.upper)
 
-    def edge_free(scene, qa, qb):
-        valid = jnp.all((qa >= chain.lower) & (qa <= chain.upper)) & jnp.all(
-            (qb >= chain.lower) & (qb <= chain.upper)
+    edge_free = make_fixed_step_edge_free(
+        state_free, distance, chain.lower, chain.upper, rrt_eps, k_max
+    )
+    edge_free_cheap = None
+    if k_max > K_CHEAP + 16:
+        edge_free_cheap = make_fixed_step_edge_free(
+            state_free, distance, chain.lower, chain.upper, rrt_eps,
+            K_CHEAP, with_overflow=True,
         )
-        fa, _ = state_free(scene, qa)
-        fb, _ = state_free(scene, qb)
-        disp = qb - qa
-        d = distance(qa, qb)
-        K = (d / rrt_eps).astype(jnp.int32)
-        ks = jnp.arange(k_max, dtype=qa.dtype)
-        active = ks < K.astype(qa.dtype)
-        cs = qa[None, :] + (ks / jnp.maximum(K, 1).astype(qa.dtype))[:, None] * disp[None, :]
-        in_free, _ = jax.vmap(lambda c: state_free(scene, c))(cs)
-        failing = active & ~in_free
-        order = jnp.arange(k_max, dtype=jnp.int32)
-        first_fail = jnp.min(jnp.where(failing, order, _BIG))
-        interior_cnt = jnp.sum((active & (order <= first_fail)).astype(jnp.int32))
-        interior_free = first_fail == _BIG
-        free = valid & fa & fb & interior_free
-        count = jnp.where(
-            valid, 1 + jnp.where(fa, 1 + jnp.where(fb, interior_cnt, 0), 0), 0
-        )
-        return free, count.astype(jnp.int32)
 
     return EnvKernels(
         state_free=state_free,
         edge_free=edge_free,
         distance=distance,
         interpolate=interpolate,
+        edge_free_cheap=edge_free_cheap,
     )
 
 

@@ -25,10 +25,23 @@ class _PCarry(NamedTuple):
     k: jnp.ndarray
     count: jnp.ndarray
     converged: jnp.ndarray
+    overflow: jnp.ndarray
 
 
-def make_projection_core(kernels: EnvKernels, rrt_eps: float):
-    """Unjitted proposed_path_smootherv2 (smoother.py:194-216), vmap-able."""
+def make_projection_core(
+    kernels: EnvKernels, rrt_eps: float, cheap: bool = False
+):
+    """Unjitted proposed_path_smootherv2 (smoother.py:194-216), vmap-able.
+
+    Returns ``(path, count, overflow)``. With ``cheap=True`` (and the env
+    providing ``edge_free_cheap``) every edge check runs at the small
+    K_CHEAP interpolation budget — bit-identical results whenever
+    ``overflow`` comes back False; True means a consumed check exceeded the
+    budget and the caller must redo the whole projection with the full
+    kernel. Only checks whose result feeds an accept decision or the count
+    can raise the flag (the unconsumed prev-variant never does)."""
+
+    use_cheap = cheap and getattr(kernels, "edge_free_cheap", None) is not None
 
     def project(scene, old_path, new_path, n_path):
         L = old_path.shape[0]
@@ -69,29 +82,41 @@ def make_projection_core(kernels: EnvKernels, rrt_eps: float):
             prev_old = path[jnp.maximum(i - 1, 0)]
             prev_cand = cand[jnp.maximum(i - 1, 0)]
             nxt = path[jnp.minimum(i + 1, L - 1)]
-            check = jax.vmap(lambda a, b: kernels.edge_free(scene, a, b))
-            okA, cA = check(prev_old, cand)  # prev kept its old value
-            okB, cB = check(prev_cand, cand)  # prev accepted its cand
-            ok2, c2 = check(nxt, cand)
+            if use_cheap:
+                check = jax.vmap(
+                    lambda a, b: kernels.edge_free_cheap(scene, a, b)
+                )
+                okA, cA, ovA = check(prev_old, cand)  # prev kept old value
+                okB, cB, ovB = check(prev_cand, cand)  # prev accepted cand
+                ok2, c2, ov2 = check(nxt, cand)
+            else:
+                check = jax.vmap(lambda a, b: kernels.edge_free(scene, a, b))
+                okA, cA = check(prev_old, cand)
+                okB, cB = check(prev_cand, cand)
+                ok2, c2 = check(nxt, cand)
+                ovA = ovB = ov2 = jnp.zeros(L, bool)
             interior = (i >= 1) & (i <= n_path - 2)
             dnorm = jnp.linalg.norm(cand - new_path, axis=-1)
 
             def resolve(carry, x):
-                prev_acc, count, diff = carry
-                (okA_i, cA_i, okB_i, cB_i, ok2_i, c2_i, int_i, dn_i) = x
+                prev_acc, count, diff, ovf = carry
+                (okA_i, cA_i, ovA_i, okB_i, cB_i, ovB_i,
+                 ok2_i, c2_i, ov2_i, int_i, dn_i) = x
                 ok1 = jnp.where(prev_acc, okB_i, okA_i)
                 c1 = jnp.where(prev_acc, cB_i, cA_i)
+                ov1 = jnp.where(prev_acc, ovB_i, ovA_i)
                 acc = int_i & ok1 & ok2_i
                 count = count + jnp.where(
                     int_i, c1 + jnp.where(ok1, c2_i, 0), 0
                 )
+                ovf = ovf | (int_i & (ov1 | (ok1 & ov2_i)))
                 diff = diff + jnp.where(acc, dn_i, 0.0)
-                return (acc, count, diff), acc
+                return (acc, count, diff, ovf), acc
 
-            (_, count, diff), accepted = jax.lax.scan(
+            (_, count, diff, ovf), accepted = jax.lax.scan(
                 resolve,
-                (jnp.asarray(False), c.count, jnp.float32(0.0)),
-                (okA, cA, okB, cB, ok2, c2, interior, dnorm),
+                (jnp.asarray(False), c.count, jnp.float32(0.0), c.overflow),
+                (okA, cA, ovA, okB, cB, ovB, ok2, c2, ov2, interior, dnorm),
             )
             outs = jnp.where(accepted[:, None], cand, path)
             return _PCarry(
@@ -99,6 +124,7 @@ def make_projection_core(kernels: EnvKernels, rrt_eps: float):
                 k=c.k + 1,
                 count=count,
                 converged=diff < 1e-5,
+                overflow=ovf,
             )
 
         init = _PCarry(
@@ -106,23 +132,26 @@ def make_projection_core(kernels: EnvKernels, rrt_eps: float):
             k=jnp.int32(0),
             count=jnp.int32(0),
             converged=jnp.asarray(False),
+            overflow=jnp.asarray(False),
         )
         out = jax.lax.while_loop(cond, body, init)
-        return out.path, out.count
+        return out.path, out.count, out.overflow
 
     return project
 
 
 def make_projection(kernels: EnvKernels, rrt_eps: float):
-    """Jitted single-path projection."""
+    """Jitted single-path projection (full interpolation budget)."""
 
     return jax.jit(make_projection_core(kernels, rrt_eps))
 
 
-def make_projection_batch(kernels: EnvKernels, rrt_eps: float):
+def make_projection_batch(
+    kernels: EnvKernels, rrt_eps: float, cheap: bool = False
+):
     """Jitted multi-lane projection (vmap over paths + scenes)."""
 
-    return jax.jit(jax.vmap(make_projection_core(kernels, rrt_eps)))
+    return jax.jit(jax.vmap(make_projection_core(kernels, rrt_eps, cheap)))
 
 
 def pad_to_bucket(n: int, step: int = 16) -> int:

@@ -155,7 +155,7 @@ def test_projection_matches_sequential_sweep(maze_path):
             return pth, count
 
         want_path, want_count = seq_project(old_path, proposal, n_path)
-        got_path, got_count = project(
+        got_path, got_count, _ = project(
             scene,
             jnp.asarray(old_path),
             jnp.asarray(proposal),
@@ -165,3 +165,111 @@ def test_projection_matches_sequential_sweep(maze_path):
         np.testing.assert_allclose(
             np.asarray(got_path), want_path, atol=1e-6, err_msg=f"trial {trial}"
         )
+
+
+def test_cheap_edge_kernel_matches_full_ur5():
+    """edge_free_cheap (K_CHEAP interpolation budget, envs/base.py) must be
+    bit-identical to edge_free whenever overflow is False, and must raise
+    overflow exactly when the decision could depend on points beyond the
+    budget (K > K_CHEAP, both endpoints free, no collision found inside)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.envs import UR5Env
+    from gnn_motion_planning_tpu.envs.base import K_CHEAP
+
+    env = UR5Env()
+    env.init_new_problem(0)
+    kernels = env.kernels()
+    assert kernels.edge_free_cheap is not None  # k_max=289 > K_CHEAP
+    scene = env.device_scene()
+    full = jax.jit(kernels.edge_free)
+    cheap = jax.jit(kernels.edge_free_cheap)
+
+    rng = np.random.default_rng(7)
+    lo, hi = np.array(env.pose_range).T
+    eps = float(env.RRT_EPS)
+
+    n_short = 0
+    for _ in range(30):
+        qa = rng.uniform(lo, hi).astype(np.float32)
+        # random direction, length spanning below/above the cheap budget
+        step = rng.normal(size=len(lo)).astype(np.float32)
+        step /= np.linalg.norm(step)
+        length = float(rng.uniform(0.2, 2.0 * K_CHEAP * eps))
+        qb = np.clip(qa + length * step, lo, hi).astype(np.float32)
+        K = int(np.linalg.norm(qb - qa) / eps)
+
+        f_free, f_cnt = full(scene, jnp.asarray(qa), jnp.asarray(qb))
+        c_free, c_cnt, c_ovf = cheap(scene, jnp.asarray(qa), jnp.asarray(qb))
+        if bool(c_ovf):
+            assert K > K_CHEAP  # flag only possible past the budget
+            continue
+        assert bool(c_free) == bool(f_free)
+        assert int(c_cnt) == int(f_cnt)
+        if K <= K_CHEAP:
+            n_short += 1
+    assert n_short >= 5
+
+    # overflow regime: a long segment that stays free — sweep both wrist
+    # joints across their range from a known-free pose over an empty scene
+    # (in clutter something collides inside the budget, which is exact)
+    base = np.asarray(env.init_state, np.float32)
+    env.set_problem_data([], base, base)
+    empty = env.device_scene()
+    qa, qb = base.copy(), base.copy()
+    for j in (4, 5):
+        qa[j], qb[j] = lo[j] * 0.95, hi[j] * 0.95
+    assert int(np.linalg.norm(qb - qa) / eps) > K_CHEAP
+    c_free, _, c_ovf = cheap(empty, jnp.asarray(qa), jnp.asarray(qb))
+    f_free, _ = full(empty, jnp.asarray(qa), jnp.asarray(qb))
+    assert bool(c_ovf) and not bool(c_free) and bool(f_free)
+
+
+def test_cheap_projection_matches_full_ur5():
+    """Projection at the cheap budget must reproduce the full-budget sweep
+    bitwise when no overflow is flagged (the production smoothing path:
+    eval_gnn get_planner project_core_cheap / fused_smooth)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.envs import UR5Env
+    from gnn_motion_planning_tpu.planners.gnn_smooth import (
+        make_projection_core,
+    )
+
+    env = UR5Env()
+    env.init_new_problem(0)
+    kernels = env.kernels()
+    scene = env.device_scene()
+    eps = float(env.RRT_EPS)
+    full = jax.jit(make_projection_core(kernels, eps))
+    cheap = jax.jit(make_projection_core(kernels, eps, cheap=True))
+
+    rng = np.random.default_rng(3)
+    lo, hi = np.array(env.pose_range).T
+    L, n_path = 8, 6
+    hit_clean = False
+    for trial in range(4):
+        base = rng.uniform(lo, hi).astype(np.float32)
+        old = np.clip(
+            base + np.cumsum(
+                rng.normal(0, 0.8, (L, len(lo))).astype(np.float32), axis=0
+            ),
+            lo, hi,
+        )
+        proposal = np.clip(
+            old + rng.normal(0, 0.5, old.shape).astype(np.float32), lo, hi
+        )
+        a = (scene, jnp.asarray(old), jnp.asarray(proposal), jnp.int32(n_path))
+        fp, fc, fo = full(*a)
+        cp, cc, co = cheap(*a)
+        assert not bool(fo)  # full budget never overflows
+        if bool(co):
+            continue  # long segment: caller redoes with full — nothing to pin
+        hit_clean = True
+        assert int(cc) == int(fc), f"trial {trial}"
+        assert np.array_equal(np.asarray(cp), np.asarray(fp)), f"trial {trial}"
+    assert hit_clean
