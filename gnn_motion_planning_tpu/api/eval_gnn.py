@@ -89,14 +89,32 @@ def get_planner(env) -> _Planner:
 
     round_core = make_explore_round_core(kernels, float(env.RRT_EPS))
     project_core = make_projection_core(kernels, float(env.RRT_EPS))
-    # cheap-budget projection (K_CHEAP interpolation points per edge check
-    # instead of the space-diagonal worst case — envs/base.py): bit-identical
-    # unless it raises the overflow flag, in which case callers redo the
-    # smoothing with the full-budget program. On ur5 (k_max=289) this cuts
-    # the projection sweep's device work ~2.3x.
-    project_core_cheap = make_projection_core(
-        kernels, float(env.RRT_EPS), cheap=True
-    )
+    # fast projection core, bit-identical unless it raises the overflow
+    # flag (callers then redo the smoothing at the full budget):
+    #   flat  — packs exactly the counted states (per-edge K, interior
+    #           nodes only) into one dense batch per sweep step; chain envs
+    #           with kernel bounds (kuka/kuka2/snake/ur5). GMP_FLAT_PROJ=0
+    #           forces the dense fallback.
+    #   cheap — dense sweep at the K_CHEAP interpolation budget
+    #           (envs/base.py) where the env provides edge_free_cheap.
+    #   else  — the full dense sweep (maze OccScene checks are ~free).
+    import os as _os
+
+    if (
+        kernels.bounds is not None
+        and _os.environ.get("GMP_FLAT_PROJ", "auto") != "0"
+    ):
+        from gnn_motion_planning_tpu.planners.gnn_smooth import (
+            make_projection_core_flat,
+        )
+
+        project_core_cheap = make_projection_core_flat(
+            kernels, float(env.RRT_EPS)
+        )
+    else:
+        project_core_cheap = make_projection_core(
+            kernels, float(env.RRT_EPS), cheap=True
+        )
 
     def _fused_round(
         params, cfg, scene, v, node_valid, goal, obstacles, obs_mask,
@@ -353,9 +371,7 @@ def get_planner(env) -> _Planner:
         round_vchunk=make_explore_round_batch_chunked(
             kernels, float(env.RRT_EPS)
         ),
-        project_vfn=make_projection_batch(
-            kernels, float(env.RRT_EPS), cheap=True
-        ),
+        project_vfn=jax.jit(jax.vmap(project_core_cheap)),
         model_vfwd=jax.jit(_model_v, static_argnames=("cfg", "loop")),
         smoother_vfwd=jax.jit(_smoother_v, static_argnames=("cfg", "loop")),
         edges_vfn=jax.jit(_edges_v, static_argnames=("n_free", "k1")),

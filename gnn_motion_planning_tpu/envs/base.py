@@ -56,6 +56,7 @@ class EnvKernels(NamedTuple):
     interpolate: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     batch_state_free: Any = None
     edge_free_cheap: Any = None
+    bounds: Any = None  # (lower, upper) joint limits for fixed-step envs
 
 
 def make_fixed_step_edge_free(

@@ -155,6 +155,7 @@ def make_chain_kernels(chain: ChainParams, rrt_eps: float, k_max: int) -> EnvKer
         interpolate=interpolate,
         batch_state_free=batch_state_free,
         edge_free_cheap=edge_free_cheap,
+        bounds=(chain.lower, chain.upper),
     )
 
 

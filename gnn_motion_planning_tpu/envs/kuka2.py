@@ -97,6 +97,7 @@ def make_dual_kernels(chain, base1, base2, rrt_eps: float, k_max: int) -> EnvKer
         distance=distance,
         interpolate=interpolate,
         edge_free_cheap=edge_free_cheap,
+        bounds=(lower, upper),
     )
 
 

@@ -170,6 +170,7 @@ def make_ur5_kernels(chain, geom: UR5Geom, rrt_eps: float, k_max: int) -> EnvKer
         distance=distance,
         interpolate=interpolate,
         edge_free_cheap=edge_free_cheap,
+        bounds=(chain.lower, chain.upper),
     )
 
 

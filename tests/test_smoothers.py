@@ -273,3 +273,71 @@ def test_cheap_projection_matches_full_ur5():
         assert int(cc) == int(fc), f"trial {trial}"
         assert np.array_equal(np.asarray(cp), np.asarray(fp)), f"trial {trial}"
     assert hit_clean
+
+
+def test_flat_projection_matches_full_ur5():
+    """The flat-packed projection (make_projection_core_flat — exactly the
+    counted states per sweep step in one dense batch) must reproduce the
+    full dense sweep bitwise: same waypoints, same counts, no overflow at
+    the default slot budget on realistic paths."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_motion_planning_tpu.envs import UR5Env
+    from gnn_motion_planning_tpu.planners.gnn_smooth import (
+        make_projection_core,
+        make_projection_core_flat,
+    )
+
+    env = UR5Env()
+    env.init_new_problem(0)
+    kernels = env.kernels()
+    scene = env.device_scene()
+    eps = float(env.RRT_EPS)
+    full = jax.jit(make_projection_core(kernels, eps))
+    flat = jax.jit(make_projection_core_flat(kernels, eps))
+
+    rng = np.random.default_rng(11)
+    lo, hi = np.array(env.pose_range).T
+    L = 8
+    n_clean = 0
+    for trial in range(4):
+        n_path = int(rng.integers(3, L + 1))
+        base = rng.uniform(lo, hi).astype(np.float32)
+        old = np.clip(
+            base + np.cumsum(
+                rng.normal(0, 0.7, (L, len(lo))).astype(np.float32), axis=0
+            ),
+            lo, hi,
+        )
+        proposal = np.clip(
+            old + rng.normal(0, 0.5, old.shape).astype(np.float32), lo, hi
+        )
+        a = (scene, jnp.asarray(old), jnp.asarray(proposal), jnp.int32(n_path))
+        fp, fc, fo = full(*a)
+        gp, gc, go = flat(*a)
+        assert not bool(fo)
+        if bool(go):
+            continue  # slot overflow: caller redoes with full — fine
+        n_clean += 1
+        assert int(gc) == int(fc), f"trial {trial}"
+        assert np.array_equal(np.asarray(gp), np.asarray(fp)), f"trial {trial}"
+    assert n_clean >= 3
+
+    # tiny slot budget must raise the overflow flag on a long path
+    tiny = jax.jit(make_projection_core_flat(kernels, eps, slots=64))
+    n_path = 6
+    old = np.clip(
+        base + np.cumsum(
+            rng.normal(0, 1.2, (L, len(lo))).astype(np.float32), axis=0
+        ),
+        lo, hi,
+    )
+    proposal = np.clip(
+        old + rng.normal(0, 1.0, old.shape).astype(np.float32), lo, hi
+    )
+    _, _, ov = tiny(
+        scene, jnp.asarray(old), jnp.asarray(proposal), jnp.int32(n_path)
+    )
+    assert bool(ov)
