@@ -364,12 +364,25 @@ class KukaEnv:
             return (samples, negative) if need_negative else samples
 
         need = n
+        # accept-rate EMA sizes the chunk so one device RPC usually covers
+        # the whole request (the tunnel roundtrip dominates at these batch
+        # sizes). The stream is unchanged by chunk size: the consumed
+        # prefix is replayed via rng.set_state below. Host-native oracles
+        # pay per drawn state, so they keep the minimal 2x chunk.
+        rate = getattr(self, "_accept_rate", None)
+        adaptive = getattr(self, "_native", None) is None
         while need > 0:
-            chunk = max(2 * need, 512)  # few buckets -> few compiles
+            if adaptive and rate is not None:
+                chunk = min(max(int(need / max(rate, 0.02) * 1.4), 512), 16384)
+            else:
+                chunk = max(2 * need, 512)  # few buckets -> few compiles
             state = rng.get_state()
             draws = rng.uniform(pr[:, 0], pr[:, 1], (chunk, self.config_dim))
             ok = self._batch_free(draws)
             n_acc = int(ok.sum())
+            obs = n_acc / chunk
+            rate = obs if rate is None else 0.8 * rate + 0.2 * obs
+            self._accept_rate = rate
             if n_acc >= need:
                 stop = int(np.nonzero(np.cumsum(ok) == need)[0][0]) + 1
                 rng.set_state(state)

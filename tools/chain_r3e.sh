@@ -1,17 +1,27 @@
 #!/bin/bash
 # Round-3 session-e TPU job chain — strictly sequential (one chip, 1-core
-# host). Runs after the ur5 cheap-kernel benchmark refresh:
-#
-#   1. kuka7 from-scratch explorer full-split eval (VERDICT item 4 parity;
-#      writes the eval_kuka7.json BASELINE.md references).
-#   2. snake7 registry rows re-measured with the cheap-budget edge kernel
-#      (K_CHEAP=128 vs k_max=292 — envs/base.py).
-#   3. strict hull-exact re-certification of planner-returned paths
-#      (tools/strict_paths.py) on all four arm envs.
+# host; timed rows are contaminated by concurrent work). Order: timed
+# benchmark refreshes first (flat projection landed in 437fe69), then the
+# untimed audits.
 set -x
 cd /root/repo
 
 step() { echo "=== CHAIN STEP: $* ==="; }
+
+step ur5_rows_flat
+timeout 3000 python tools/run_benchmarks.py ur5 1000 "--methods=GNN" 2>&1 | tail -4
+
+step kuka_maze_rows_flat
+timeout 14400 python tools/refresh_gnn_rows.py \
+  "gnn:kuka14:Kuka_14D:400" \
+  "bench:kuka14:400:GNN-p50,GNN-batched,GNN-serve" \
+  "gnn:kuka7:Kuka_7D:1000" \
+  "gnn:kuka13:Kuka_13D:250" \
+  2>&1 | tail -20
+
+step snake7_rows_flat
+timeout 7200 python tools/run_benchmarks.py snake7 250 "--methods=GNN,GNN-batched,GNN-ref-budget" \
+  2>&1 | tail -6
 
 step kuka7_scratch_eval
 timeout 2400 python - <<'EOF' 2>&1 | tail -8
@@ -35,10 +45,6 @@ open("assets/train_logs/kuka7_explorer_scratch/eval_kuka7.json", "w").write(
 )
 print(json.dumps(rec))
 EOF
-
-step snake7_rows
-timeout 7200 python tools/run_benchmarks.py snake7 250 "--methods=GNN,GNN-batched,GNN-ref-budget" \
-  2>&1 | tail -6
 
 step strict_paths
 timeout 14400 python tools/strict_paths.py all 100 2>&1 | tail -10
