@@ -10,7 +10,6 @@ serving path is the compiled model smoother in planners/gnn_smooth.py).
 
 from __future__ import annotations
 
-from collections import defaultdict
 from copy import deepcopy
 
 import numpy as np
@@ -52,82 +51,90 @@ def random_path_smoother(path, eps, env, iter: int = 100):
     return path
 
 
-def _dijkstra_points(points, neighbors, edge_cost, source):
-    """Dijkstra over a small point graph keyed by tuples
-    (reference algorithm/dijkstra.py:49-76 specialised to prune_path use)."""
+def _visibility_window(env, window):
+    """Dense visibility adjacency over one path window.
 
-    dists = {tuple(np.asarray(p)): float("inf") for p in points}
-    prevs = {}
-    src = tuple(np.asarray(source))
-    dists[src] = 0.0
-    visited = set()
-    while True:
-        best, best_d = None, float("inf")
-        for p, dv in dists.items():
-            if p not in visited and dv < best_d:
-                best, best_d = p, dv
-        if best is None:
-            return dists, prevs
-        visited.add(best)
-        for q, c in zip(neighbors.get(best, []), edge_cost.get(best, [])):
-            tq = tuple(np.asarray(q))
-            nd = best_d + c
-            if nd < dists.get(tq, float("inf")):
-                dists[tq] = nd
-                prevs[tq] = best
-    return dists, prevs
+    One oracle call per ordered point pair, in row-major order (the same
+    call sequence the reference's nested dict-builder issues, so
+    ``collision_check_count`` advances identically); the result is a masked
+    cost matrix instead of tuple-keyed neighbor lists.
+    """
+
+    k = len(window)
+    pts = np.asarray(window, np.float64)
+    cost = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    vis = np.zeros((k, k), bool)
+    for i in range(k):
+        for j in range(k):
+            vis[i, j] = env._edge_fp(pts[i], pts[j])
+    return np.where(vis, cost, np.inf)
 
 
-def _create_graph(path, env, prev, nxt):
-    """All-pairs visibility graph on a path window (smoother.py:85-94)."""
+def _dijkstra_dense(w):
+    """Vectorised Dijkstra on a dense masked cost matrix from node 0:
+    each settle step relaxes a full adjacency row at once (no per-neighbor
+    Python loop, no tuple-dict bookkeeping). Returns the predecessor array
+    (-1 = unreached)."""
 
-    points = path[prev : nxt + 1]
-    neighbors = defaultdict(list)
-    edge_cost = defaultdict(list)
-    for p1 in points:
-        for p2 in points:
-            if env._edge_fp(np.asarray(p1), np.asarray(p2)):
-                neighbors[tuple(np.asarray(p1))].append(p2)
-                edge_cost[tuple(np.asarray(p1))].append(
-                    float(np.linalg.norm(np.asarray(p1) - np.asarray(p2)))
-                )
-    return neighbors, edge_cost
+    k = len(w)
+    dist = np.full(k, np.inf)
+    prev = np.full(k, -1, np.int64)
+    done = np.zeros(k, bool)
+    dist[0] = 0.0
+    for _ in range(k):
+        u = int(np.argmin(np.where(done, np.inf, dist)))
+        if not np.isfinite(dist[u]) or done[u]:
+            break
+        done[u] = True
+        relaxed = dist[u] + w[u]
+        better = (relaxed < dist) & ~done
+        dist[better] = relaxed[better]
+        prev[better] = u
+    return prev
 
 
 def prune_path(path, env, iter: int = 100):
-    """Critical-node Dijkstra shortcutting (smoother.py:97-126)."""
+    """Critical-node Dijkstra shortcutting (behavior of reference
+    smoother.py:97-126, restructured): keep the endpoints plus every
+    waypoint whose neighbors cannot see each other, then replace each
+    critical segment by the visibility-graph shortest path through the
+    window's waypoints. Iterates until a full pass removes nothing.
+
+    Consumes no RNG draws and issues oracle calls in the reference's exact
+    order, so training-target streams are unchanged."""
 
     for _ in range(iter):
-        try:
-            len_path = len(path)
-            crit_idx = []
-            for index in range(len(path)):
-                if index == 0 or index == len(path) - 1:
-                    crit_idx.append(index)
-                elif not env._edge_fp(
-                    np.asarray(path[index - 1]), np.asarray(path[index + 1])
-                ):
-                    crit_idx.append(index)
+        len_path = len(path)
+        crit_idx = [0]
+        for index in range(1, len(path) - 1):
+            if not env._edge_fp(np.asarray(path[index - 1]), np.asarray(path[index + 1])):
+                crit_idx.append(index)
+        if len(path) > 1:
+            crit_idx.append(len(path) - 1)
 
-            new_path = [path[0]]
-            for prev, nxt in zip(crit_idx[:-1], crit_idx[1:]):
-                neighbors, edge_cost = _create_graph(path, env, prev, nxt)
-                dists, prevs = _dijkstra_points(
-                    path[prev : nxt + 1], neighbors, edge_cost, path[prev]
-                )
-                partial = []
-                current = tuple(np.asarray(path[nxt]))
-                target = tuple(np.asarray(path[prev]))
-                while current != target:
-                    partial.append(current)
-                    current = prevs[current]
-                partial.reverse()
-                new_path.extend(partial)
-            path = new_path
-            if len(path) == len_path:
-                return path
-        except Exception:
+        new_path = [path[0]]
+        ok = True
+        for prev_i, nxt_i in zip(crit_idx[:-1], crit_idx[1:]):
+            window = path[prev_i : nxt_i + 1]
+            w = _visibility_window(env, window)
+            pred = _dijkstra_dense(w)
+            partial = []
+            current = nxt_i - prev_i
+            while current != 0:
+                partial.append(np.asarray(window[current]))
+                current = int(pred[current])
+                if current < 0:  # unreachable window end: keep path as-is
+                    ok = False
+                    break
+            if not ok:
+                break
+            partial.reverse()
+            new_path.extend(partial)
+        if not ok:
             break
+        path = new_path
+        if len(path) == len_path:
+            return path
     return path
 
 
