@@ -32,9 +32,14 @@ SCRATCH_NAMES = {
     ("explorer", "maze3"): "weights_maze_3_scratch.npz",
     ("explorer", "kuka7"): "weights_kuka_scratch.npz",
     ("explorer", "snake7"): "weights_snake_scratch.npz",
+    ("explorer", "ur5"): "weights_ur5_scratch.npz",
+    ("explorer", "kuka13"): "weights_kuka_13_scratch.npz",
+    ("explorer", "kuka14"): "weights_kuka_14_scratch.npz",
     ("smoother", "maze2"): "smooth_2d_scratch.npz",
     ("smoother", "maze3"): "smooth_3d_scratch.npz",
     ("smoother", "kuka7"): "smooth_7d_scratch.npz",
+    ("smoother", "ur5"): "smooth_ur5_scratch.npz",
+    ("smoother", "snake7"): "smooth_snake_scratch.npz",
 }
 
 
