@@ -121,13 +121,28 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
 
     idx = list(indexes[:n_problems])
     failures = []
+    solutions = []  # the sweep doubles as the registry GNN row (same
+    # protocol: per-problem streams, eval_gnn.py:128-142 metric block)
+    times = []
     t_start = time()
     strict = None
+
+    from gnn_motion_planning_tpu.api.eval_gnn import path_cost
 
     for i in idx:
         env.rng = problem_rng(seed, int(i))
         env.init_new_problem(int(i))
+        t_p = time()
         r = explore(env, model, model_s, smooth=True, **over)
+        times.append(time() - t_p)
+        solutions.append(
+            (
+                r["success"],
+                path_cost(r["smooth_path"]),
+                r["c_explore"] + r["c_smooth"],
+                r["total"],
+            )
+        )
         if r["success"]:
             continue
 
@@ -208,6 +223,27 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
     counts = {}
     for rec in failures:
         counts[rec["class"]] = counts.get(rec["class"], 0) + 1
+
+    n_success = sum(s[0] for s in solutions)
+    metrics = {
+        "n_problems": len(idx),
+        "success": int(n_success),
+        "collision_checks": float(np.mean([s[2] for s in solutions])),
+        "running_time_s": float(
+            sum(s[3] for s in solutions if s[0]) / n_success
+        )
+        if n_success
+        else float("nan"),
+        "path_cost": float(sum(s[1] for s in solutions if s[0]) / n_success)
+        if n_success
+        else float("nan"),
+        "total_time_s": float(sum(s[3] for s in solutions)),
+        "p50_s": round(float(np.median(times)), 4),
+        "p95_s": round(float(np.percentile(times, 95)), 4),
+    }
+    if over:
+        metrics["protocol_overrides"] = over
+
     report = {
         "env": name,
         "n_problems": len(idx),
@@ -215,13 +251,24 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
         "classes": counts,
         "protocol": f"seed {seed}, per-problem streams, overrides {over}",
         "taxonomy": "budget_exhaustion | oracle_conservatism | planner_miss | presumed_hard",
+        "metrics": metrics,
         "failures": failures,
         "wall_s": round(time() - t_start, 1),
     }
     OUT.mkdir(parents=True, exist_ok=True)
     out_path = OUT / f"failures_{name}.json"
     out_path.write_text(json.dumps(report, indent=1))
+
+    # the sweep IS a protocol GNN row: refresh the registry artifact so the
+    # full-split row and its triage always come from the same run (guarded
+    # to full splits — a partial smoke run must not clobber the row)
+    if len(idx) >= 1000:
+        row_path = OUT / f"{name}.json"
+        rows = json.loads(row_path.read_text()) if row_path.exists() else {}
+        rows["GNN"] = dict(metrics, wall_s=round(time() - t_start, 1))
+        row_path.write_text(json.dumps(rows, indent=1))
     print(f"{name}: {len(failures)} failures {counts} -> {out_path}", flush=True)
+    print(json.dumps(metrics), flush=True)
     return report
 
 
