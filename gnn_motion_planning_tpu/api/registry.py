@@ -150,11 +150,49 @@ def _spec_key(name: str) -> str:
     return name
 
 
+def _scratch_npz(ckpt: str):
+    """Path of the from-scratch-trained twin of a converted checkpoint
+    (tools/train_scratch.py naming: <stem-without-_attv3>_scratch.npz)."""
+
+    from pathlib import Path
+
+    return (
+        Path(__file__).resolve().parents[2]
+        / "assets" / "weights_jax"
+        / (Path(ckpt).stem.replace("_attv3", "") + "_scratch.npz")
+    )
+
+
+def _load_npz(path):
+    import numpy as np
+
+    from gnn_motion_planning_tpu.models.convert import _nest
+
+    with np.load(path) as f:
+        return _nest({k: f[k] for k in f.files})
+
+
+def _prefer_scratch() -> bool:
+    """GMP_WEIGHTS=scratch runs every config on the in-repo-trained
+    checkpoints (tools/train_scratch.py) instead of the converted upstream
+    weights — the reproduce-everything-from-source mode."""
+
+    import os
+
+    return os.environ.get("GMP_WEIGHTS", "").lower() == "scratch"
+
+
 def _load_explorer_params(spec, ckpt: str):
     """Explorer params: the converted upstream checkpoint, unless the spec
     names a fine-tuned replacement (``explorer_ft``) and it exists —
     configs on regenerated datasets (snake7) prefer weights trained on the
-    data they are evaluated with."""
+    data they are evaluated with. GMP_WEIGHTS=scratch overrides both with
+    the from-scratch checkpoint when it exists."""
+
+    if _prefer_scratch():
+        scratch = _scratch_npz(ckpt)
+        if scratch.exists():
+            return _load_npz(scratch)
 
     ft_name = spec.get("explorer_ft")
     if ft_name and "_pure" not in ckpt:  # obstacle-free ablation keeps .pt
@@ -180,27 +218,22 @@ def _load_smoother_params(ckpt: str):
     ships only smooth_3d_att.pt (str2name.py:25 vs data/weights/), an older
     lstm+graph-attention model its current ModelSmoother cannot load; maze3
     therefore smooths with the oracle smoother (eval_gnn.explore falls back
-    when params is None)."""
+    when params is None). GMP_WEIGHTS=scratch prefers the from-scratch
+    checkpoint whenever it exists."""
+
+    if _prefer_scratch():
+        scratch = _scratch_npz(ckpt)
+        if scratch.exists():
+            return _load_npz(scratch)
 
     params = load_params(ckpt)
     if "0" not in params.get("node_code", {}):
         # no loadable upstream checkpoint: prefer this framework's
         # from-scratch-trained replacement when present
         # (tools/train_scratch.py smoother maze3)
-        from pathlib import Path
-
-        from gnn_motion_planning_tpu.models.convert import _nest
-
-        scratch = (
-            Path(__file__).resolve().parents[2]
-            / "assets" / "weights_jax"
-            / (Path(ckpt).stem.replace("_attv3", "") + "_scratch.npz")
-        )
+        scratch = _scratch_npz(ckpt)
         if scratch.exists():
-            import numpy as np
-
-            with np.load(scratch) as f:
-                return _nest({k: f[k] for k in f.files})
+            return _load_npz(scratch)
         return None
     return params
 

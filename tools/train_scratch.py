@@ -34,7 +34,7 @@ SCRATCH_NAMES = {
     ("explorer", "snake7"): "weights_snake_scratch.npz",
     ("explorer", "ur5"): "weights_ur5_scratch.npz",
     ("explorer", "kuka13"): "weights_kuka_13_scratch.npz",
-    ("explorer", "kuka14"): "weights_kuka_14_scratch.npz",
+    ("explorer", "kuka14"): "kuka_14_scratch.npz",  # matches registry ckpt stem
     ("smoother", "maze2"): "smooth_2d_scratch.npz",
     ("smoother", "maze3"): "smooth_3d_scratch.npz",
     ("smoother", "kuka7"): "smooth_7d_scratch.npz",
