@@ -7,9 +7,9 @@ first `n_base` problems — they run the host oracle per call and the full
 split would be days of chip time), and it resumes: cells already present
 in the output pickle are skipped, so the sweep can be stopped/restarted.
 
-Deviation from the reference table: Kuka_13D and Kuka_14D run on the
-regenerated datasets' verified solvable heads (upstream kukas_13/14 files
-are not shipped; see tools/generate_problems.py) via the registry splits.
+Kuka_13D and Kuka_14D run on the regenerated datasets (upstream kukas_13/14
+files are not shipped; see tools/generate_problems.py) — full 1000-problem
+splits since round 4 (solvability-verified through index 3000).
 
 Usage: python tools/grand_sweep.py [--methods=GNN,BIT*] [--envs=Maze_2D_Easy]
        [--n-base=100] [--out=data/result.p]
@@ -51,8 +51,11 @@ def env_table():
         # bug; evaluate the file's full range instead
         ("Maze_3D", lambda: (envs.MazeEnv(dim=3, map_file="maze_files/mazes_hard_3.npz"), np.arange(1000))),
         ("Kuka_7D", lambda: (envs.KukaEnv(), np.arange(2000, 3000))),
-        ("Kuka_13D", reg("kuka13", head=250)),  # verified heads of the
-        ("Kuka_14D", reg("kuka14", head=400)),  # regenerated datasets
+        # full splits since round 4: the regenerated datasets are
+        # solvability-verified through index 3000 (tools/generate_problems.py
+        # --reverify), matching reference str2env.py:29-37
+        ("Kuka_13D", reg("kuka13")),
+        ("Kuka_14D", reg("kuka14")),
     ]
 
 
