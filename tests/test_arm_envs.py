@@ -132,3 +132,45 @@ def test_snake_grid_scene_matches_full_scan():
     np.testing.assert_array_equal(
         np.asarray(f_old(jnp.asarray(qs))), np.asarray(f_new(jnp.asarray(qs)))
     )
+
+
+def test_snake_straight_bias_sampler():
+    """Opt-in narrow-passage sampler (envs/snake.py::_bias_draws): off by
+    default (draws untouched), deterministic per-row (the accept-rate
+    chunking's stream replay stays exact), support-preserving, and it
+    concentrates angle mass near the straight pose."""
+
+    from gnn_motion_planning_tpu.config import set_random_seed
+    from gnn_motion_planning_tpu.envs import SnakeEnv
+
+    env = SnakeEnv(map_file=None)
+    occ = np.zeros((15, 15))
+    occ[7, 7] = 1
+    env.set_problem_data(occ, np.zeros(7), np.ones(7) * 0.1)
+
+    # default off: _bias_draws is the identity
+    draws = np.random.RandomState(0).uniform(-1, 1, (64, 7))
+    np.testing.assert_array_equal(env._bias_draws(draws), draws)
+
+    # reproducible: same seed + bias -> identical samples AND identical
+    # downstream stream position (the replay path consumed the same count)
+    env.sampler_bias = "straight"
+    env.rng = set_random_seed(7)
+    a, na = env.sample_n_points(50, need_negative=True)
+    after_a = env.rng.uniform(0.0, 1.0, 3)
+    env.rng = set_random_seed(7)
+    b, nb = env.sample_n_points(50, need_negative=True)
+    after_b = env.rng.uniform(0.0, 1.0, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(len(na), len(nb))
+    np.testing.assert_array_equal(after_a, after_b)
+
+    # biased rows are squashed toward straight, unbiased rows untouched
+    env.sampler_bias = "straight"
+    u = np.random.RandomState(1).uniform(-np.pi, np.pi, (90, 7))
+    u[:, :2] *= 9.0 / np.pi
+    biased = env._bias_draws(u)
+    np.testing.assert_array_equal(biased[1], u[1])  # row 1 not a bias row
+    sel = np.arange(0, 90, SnakeEnv._BIAS_EVERY)
+    assert np.all(np.abs(biased[sel][:, 2:]) <= np.abs(u[sel][:, 2:]) + 1e-12)
+    np.testing.assert_array_equal(biased[sel][:, :2], u[sel][:, :2])

@@ -21,7 +21,7 @@ sys.path.insert(0, str(REPO))
 
 
 def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
-         name="maze2easy", n=1000):
+         name="maze2easy", n=1000, **kwargs):
     from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn
     from gnn_motion_planning_tpu.api.registry import str2env, str2name
     from gnn_motion_planning_tpu.models.convert import _nest
@@ -31,8 +31,28 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
     with np.load(ckpt) as f:
         params = _nest({k: f[k] for k in f.files})
     model = model._replace(params=params)
-    out = eval_gnn(name, 1234, env, idx[:n], model=model, model_s=model_s)
+    out = eval_gnn(name, 1234, env, idx[:n], model=model, model_s=model_s,
+                   **kwargs)
     print("success", out[0], "of", n)
+
+    # eval artifact next to the training curve (same fields as the
+    # converted-weights rows in assets/benchmarks/<name>.json)
+    import json
+
+    log_dir = REPO / "assets" / "train_logs" / f"{name}_explorer_scratch"
+    if log_dir.is_dir():
+        row = {
+            "ckpt": Path(ckpt).name,
+            "n_problems": int(n),
+            "success": int(out[0]),
+            "collision_checks": float(out[1]),
+            "running_time_s": float(out[2]),
+            "path_cost": float(out[3]),
+            "protocol_overrides": kwargs or None,
+            "converted_weights_row": f"assets/benchmarks/{name}.json",
+        }
+        (log_dir / f"eval_{name}.json").write_text(json.dumps(row, indent=1))
+        print("wrote", log_dir / f"eval_{name}.json")
     return out
 
 
@@ -81,8 +101,12 @@ if __name__ == "__main__":
             int(args[3]) if len(args) > 3 else 250,
         )
     else:
+        kw = {}
+        if len(args) > 3:
+            kw["t_max"] = int(args[3])
         main(
             args[0] if args else "assets/weights_jax/weights_maze_scratch.npz",
             args[1] if len(args) > 1 else "maze2easy",
             int(args[2]) if len(args) > 2 else 1000,
+            **kw,
         )
