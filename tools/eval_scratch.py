@@ -7,6 +7,7 @@ NEXT checkpoints run the tree-planner protocol (eval_next.py:47-88).
 
 Usage: python tools/eval_scratch.py [ckpt.npz] [config] [n_problems]
        python tools/eval_scratch.py --next <ckpt.npz> <config> [n_problems]
+       python tools/eval_scratch.py --smoother <ckpt.npz> <config> [n_problems]
 """
 
 from __future__ import annotations
@@ -21,12 +22,14 @@ sys.path.insert(0, str(REPO))
 
 
 def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
-         name="maze2easy", n=1000, **kwargs):
+         name="maze2easy", n=1000, bias=None, **kwargs):
     from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn
     from gnn_motion_planning_tpu.api.registry import str2env, str2name
     from gnn_motion_planning_tpu.models.convert import _nest
 
     env, idx = str2env(name)
+    if bias:
+        env.sampler_bias = bias  # opt-in narrow-passage sampler (envs/snake.py)
     _, model, _, model_s, _ = str2name(name)
     with np.load(ckpt) as f:
         params = _nest({k: f[k] for k in f.files})
@@ -48,11 +51,60 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
             "collision_checks": float(out[1]),
             "running_time_s": float(out[2]),
             "path_cost": float(out[3]),
-            "protocol_overrides": kwargs or None,
+            "protocol_overrides": dict(kwargs, sampler_bias=bias)
+            if bias
+            else (kwargs or None),
             "converted_weights_row": f"assets/benchmarks/{name}.json",
         }
-        (log_dir / f"eval_{name}.json").write_text(json.dumps(row, indent=1))
-        print("wrote", log_dir / f"eval_{name}.json")
+        stem = f"eval_{name}" + (f"_tmax{kwargs['t_max']}" if "t_max" in kwargs
+                                 else "") + (f"_bias_{bias}" if bias else "")
+        (log_dir / f"{stem}.json").write_text(json.dumps(row, indent=1))
+        print("wrote", log_dir / f"{stem}.json")
+    return out
+
+
+def main_smoother(ckpt, name="maze2easy", n=100):
+    """Smoother scratch checkpoint: shipped explorer + fresh smoother.
+
+    The metric that isolates smoother quality is the smoothed path cost
+    (reference eval_gnn.py:132) — success rate and check counts are
+    explorer-owned and should match the converted-weights row.
+    """
+
+    from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn
+    from gnn_motion_planning_tpu.api.registry import (
+        eval_overrides,
+        str2env,
+        str2name,
+    )
+    from gnn_motion_planning_tpu.models.convert import _nest
+
+    env, idx = str2env(name)
+    _, model, _, model_s, _ = str2name(name)
+    with np.load(ckpt) as f:
+        params = _nest({k: f[k] for k in f.files})
+    model_s = model_s._replace(params=params)
+    kwargs = eval_overrides(name)
+    out = eval_gnn(name, 1234, env, idx[:n], model=model, model_s=model_s,
+                   **kwargs)
+    print("success", out[0], "of", n, "path_cost", out[3])
+
+    import json
+
+    log_dir = REPO / "assets" / "train_logs" / f"{name}_smoother_scratch"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    row = {
+        "ckpt": Path(ckpt).name,
+        "n_problems": int(n),
+        "success": int(out[0]),
+        "collision_checks": float(out[1]),
+        "running_time_s": float(out[2]),
+        "path_cost": float(out[3]),
+        "protocol_overrides": kwargs or None,
+        "converted_weights_row": f"assets/benchmarks/{name}.json",
+    }
+    (log_dir / f"eval_{name}.json").write_text(json.dumps(row, indent=1))
+    print("wrote", log_dir / f"eval_{name}.json")
     return out
 
 
@@ -94,7 +146,13 @@ def main_next(ckpt, name="maze2easy", n=250):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    if args and args[0] == "--next":
+    if args and args[0] == "--smoother":
+        main_smoother(
+            args[1],
+            args[2] if len(args) > 2 else "maze2easy",
+            int(args[3]) if len(args) > 3 else 100,
+        )
+    elif args and args[0] == "--next":
         main_next(
             args[1],
             args[2] if len(args) > 2 else "maze2easy",
@@ -102,6 +160,10 @@ if __name__ == "__main__":
         )
     else:
         kw = {}
+        if "--bias" in args:
+            i = args.index("--bias")
+            kw["bias"] = args[i + 1]
+            args = args[:i] + args[i + 2:]
         if len(args) > 3:
             kw["t_max"] = int(args[3])
         main(
