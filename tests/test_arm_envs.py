@@ -174,3 +174,54 @@ def test_snake_straight_bias_sampler():
     sel = np.arange(0, 90, SnakeEnv._BIAS_EVERY)
     assert np.all(np.abs(biased[sel][:, 2:]) <= np.abs(u[sel][:, 2:]) + 1e-12)
     np.testing.assert_array_equal(biased[sel][:, :2], u[sel][:, :2])
+
+
+def test_snake_corridor_bias_sampler():
+    """Corridor-guided sampler (envs/snake.py::_bias_draws "corridor"):
+    deterministic per-row (stream replay exact), remapped rows' base (x,y)
+    land inside corridor cells joining init and goal, other rows untouched,
+    and the corridor BFS routes through the only gap in a wall."""
+
+    from gnn_motion_planning_tpu.config import set_random_seed
+    from gnn_motion_planning_tpu.envs import SnakeEnv
+
+    env = SnakeEnv(map_file=None)
+    # vertical wall at i=7 with a single gap at j=3
+    occ = np.zeros((15, 15))
+    occ[7, :] = 1
+    occ[7, 3] = 0
+    init = np.zeros(7)
+    init[:2] = (1.4 * 2 - 10.5, 1.4 * 7 - 10.5)  # cell (2, 7)
+    goal = np.zeros(7)
+    goal[:2] = (1.4 * 12 - 10.5, 1.4 * 7 - 10.5)  # cell (12, 7)
+    env.set_problem_data(occ, init, goal)
+    env.sampler_bias = "corridor"
+
+    cells = env._corridor_cells()
+    # the corridor must use the gap cell (7, 3) and never an occupied cell
+    gap = (1.4 * 7 - 10.5, 1.4 * 3 - 10.5)
+    assert any(np.allclose(c, gap) for c in cells)
+    ij = np.round((cells + 10.5) / 1.4).astype(int)
+    assert not occ[ij[:, 0], ij[:, 1]].any()
+
+    # remapped rows fall in corridor cells; other rows untouched
+    u = np.random.RandomState(1).uniform(-np.pi, np.pi, (64, 7))
+    u[:, :2] *= 9.0 / np.pi
+    biased = env._bias_draws(u)
+    np.testing.assert_array_equal(biased[1], u[1])
+    sel = np.arange(0, 64, SnakeEnv._CORRIDOR_EVERY)
+    bij = np.round((biased[sel][:, :2] + 10.5) / 1.4).astype(int)
+    keys = {tuple(r) for r in ij}
+    assert all(tuple(r) in keys for r in bij)
+    assert np.all(np.abs(biased[sel][:, 2:]) <= np.abs(u[sel][:, 2:]) + 1e-12)
+
+    # stream-exact under the chunked sampler
+    env.rng = set_random_seed(7)
+    a, na = env.sample_n_points(50, need_negative=True)
+    after_a = env.rng.uniform(0.0, 1.0, 3)
+    env.rng = set_random_seed(7)
+    b, nb = env.sample_n_points(50, need_negative=True)
+    after_b = env.rng.uniform(0.0, 1.0, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(na) == len(nb)
+    np.testing.assert_array_equal(after_a, after_b)
