@@ -36,10 +36,13 @@ SCRATCH_NAMES = {
     ("explorer", "kuka13"): "weights_kuka_13_scratch.npz",
     ("explorer", "kuka14"): "kuka_14_scratch.npz",  # matches registry ckpt stem
     ("smoother", "maze2"): "smooth_2d_scratch.npz",
+    ("smoother", "maze2easy"): "smooth_2d_scratch.npz",
     ("smoother", "maze3"): "smooth_3d_scratch.npz",
     ("smoother", "kuka7"): "smooth_7d_scratch.npz",
     ("smoother", "ur5"): "smooth_ur5_scratch.npz",
     ("smoother", "snake7"): "smooth_snake_scratch.npz",
+    ("smoother", "kuka13"): "smooth_13d_scratch.npz",
+    ("smoother", "kuka14"): "smooth_14d_scratch.npz",
 }
 
 
