@@ -110,18 +110,23 @@ def grid_coord(xy: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 class OccScene(NamedTuple):
-    """Occupancy scene: the grid plus its padded occupied-cell list.
+    """Occupancy scene: the grid plus gather-free lookup tables.
 
-    The cell list turns every occupancy lookup into a vectorized compare
-    (`any(flat_id == cells)`) instead of a gather — on TPU the gather-free
-    form runs the planner edge workload ~5-9x faster at equal (bit-exact)
-    results, because tiny-table gathers serialize on the VPU while the
-    (points, K) compare tiles. `cells` is -1-padded (flat ids are >= 0, so
-    padding never matches).
+    Tiny-table gathers serialize on the TPU VPU, so lookups are vectorized
+    compares instead. Two forms, both bit-exact vs the grid gather:
+
+    - `row_masks` (the default path): each grid row packed into one int32
+      bitmask; a lookup is a W-wide row one-hot dotted with the masks plus
+      a bit test — ~3W VPU ops per point.
+    - `cells` (legacy path, kept for A/B): -1-padded flat ids of occupied
+      cells; a lookup is `any(flat_id == cells)` over the fixed `cap`
+      (~256 compares per point). The bitmap path replaced it for a ~7x
+      cut in per-point compare work (tools/ab_occ.py).
     """
 
     occ: jnp.ndarray  # (W, W) occupancy grid, nonzero = obstacle
     cells: jnp.ndarray  # (K,) int32 flat ids of occupied cells, -1 pad
+    row_masks: jnp.ndarray  # (W,) int32, bit j of entry i = occ[i, j]
 
 
 def make_occ_scene(occ_map, cap: int = 256) -> OccScene:
@@ -131,19 +136,43 @@ def make_occ_scene(occ_map, cap: int = 256) -> OccScene:
         raise ValueError(f"{len(flat)} occupied cells exceed cap {cap}")
     cells = np.full(cap, -1, np.int32)
     cells[: len(flat)] = flat
-    return OccScene(jnp.asarray(occ_np), jnp.asarray(cells))
+    width = occ_np.shape[-1]
+    if width > 31:  # row must fit an int32 bitmask
+        raise ValueError(f"grid width {width} exceeds bitmap capacity 31")
+    masks = (np.asarray(occ_np != 0, np.int64) << np.arange(width)).sum(1)
+    return OccScene(
+        jnp.asarray(occ_np),
+        jnp.asarray(cells),
+        jnp.asarray(masks.astype(np.int32)),
+    )
 
 
 def _occ_width(occ) -> int:
     return (occ.occ if isinstance(occ, OccScene) else occ).shape[-1]
 
 
+def _occ_at_cells(occ: OccScene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Legacy padded-cell-list compare (kept for tools/ab_occ.py)."""
+
+    width = occ.occ.shape[-1]
+    c = grid_coord(xy, width)
+    flat = c[..., 0] * width + c[..., 1]
+    return jnp.any(flat[..., None] == occ.cells, axis=-1)
+
+
 def _occ_at(occ, xy: jnp.ndarray) -> jnp.ndarray:
     if isinstance(occ, OccScene):
         width = occ.occ.shape[-1]
         c = grid_coord(xy, width)
-        flat = c[..., 0] * width + c[..., 1]
-        return jnp.any(flat[..., None] == occ.cells, axis=-1)
+        c0, c1 = c[..., 0], c[..., 1]
+        # grid_coord clamps the upper side only; negatives (invalid states,
+        # checked separately by callers) must read as "no obstacle" exactly
+        # like the legacy flat-id compare.
+        in_range = (c0 >= 0) & (c1 >= 0)
+        sel = c0[..., None] == jnp.arange(width, dtype=c0.dtype)
+        word = jnp.sum(jnp.where(sel, occ.row_masks, 0), axis=-1)
+        bit = (word >> jnp.maximum(c1, 0)) & 1
+        return in_range & (bit != 0)
     occ = jnp.asarray(occ)
     width = _occ_width(occ)
     c = grid_coord(xy, width)
