@@ -336,10 +336,16 @@ def eval_gnn(
     batch: int = 500,
     t_max: int = 500,
     k: int = 30,
+    failed_indexes: list | None = None,
     **kwargs,
 ):
     """Benchmark sweep with the reference's metric block
-    (reference eval_gnn.py:96-145)."""
+    (reference eval_gnn.py:96-145).
+
+    `failed_indexes`: optional caller-owned list; every problem index the
+    planner fails is appended, so full-split rows come out triage-ready
+    (tools/snake_refbudget_triage.py consumes them without a re-run).
+    """
 
     from gnn_motion_planning_tpu.api.registry import str2name
 
@@ -369,6 +375,8 @@ def eval_gnn(
         )
         paths.append(result["path"])
         smooth_paths.append(result["smooth_path"])
+        if failed_indexes is not None and not result["success"]:
+            failed_indexes.append(int(index))
         solutions.append(
             (
                 result["success"],

@@ -197,12 +197,15 @@ def test_snake_corridor_bias_sampler():
     env.set_problem_data(occ, init, goal)
     env.sampler_bias = "corridor"
 
-    cells = env._corridor_cells()
+    cells, dirs = env._corridor_cells()
     # the corridor must use the gap cell (7, 3) and never an occupied cell
     gap = (1.4 * 7 - 10.5, 1.4 * 3 - 10.5)
     assert any(np.allclose(c, gap) for c in cells)
     ij = np.round((cells + 10.5) / 1.4).astype(int)
     assert not occ[ij[:, 0], ij[:, 1]].any()
+    # directions are unit (or zero at the goal cell / undefined descent)
+    nrm = np.hypot(dirs[:, 0], dirs[:, 1])
+    assert np.all((np.abs(nrm - 1.0) < 1e-9) | (nrm == 0.0))
 
     # remapped rows fall in corridor cells; other rows untouched
     u = np.random.RandomState(1).uniform(-np.pi, np.pi, (64, 7))
@@ -213,7 +216,22 @@ def test_snake_corridor_bias_sampler():
     bij = np.round((biased[sel][:, :2] + 10.5) / 1.4).astype(int)
     keys = {tuple(r) for r in ij}
     assert all(tuple(r) in keys for r in bij)
-    assert np.all(np.abs(biased[sel][:, 2:]) <= np.abs(u[sel][:, 2:]) + 1e-12)
+    # slab-pose structure: for rows whose cell has a corridor tangent, the
+    # angles are exactly slab(delta(phi)) + 0.4*u^3/pi^2 (deterministic in
+    # the draw — the stream-replay contract); all within pose bounds
+    uu = (u[sel, :2] + 9.0) / 18.0
+    c = np.minimum((uu[:, 0] * len(cells)).astype(np.int64), len(cells) - 1)
+    d = dirs[c]
+    aimed = (d[:, 0] != 0) | (d[:, 1] != 0)
+    phi = np.arctan2(d[:, 1], d[:, 0])
+    delta = np.mod(np.pi / 2 - phi + np.pi / 2, np.pi) - np.pi / 2
+    slab = np.stack([-delta / 2, -delta / 2, 0.75 * delta,
+                     0 * delta, 0 * delta], 1)
+    expect = slab + 0.4 * u[sel, 2:] ** 3 / np.pi**2
+    np.testing.assert_allclose(
+        biased[sel][:, 2:][aimed], expect[aimed], atol=1e-12
+    )
+    assert np.all(np.abs(biased[:, 2:]) <= np.pi)
 
     # stream-exact under the chunked sampler
     env.rng = set_random_seed(7)

@@ -34,9 +34,12 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
     with np.load(ckpt) as f:
         params = _nest({k: f[k] for k in f.files})
     model = model._replace(params=params)
+    failed: list = []
     out = eval_gnn(name, 1234, env, idx[:n], model=model, model_s=model_s,
-                   **kwargs)
+                   failed_indexes=failed, **kwargs)
     print("success", out[0], "of", n)
+    if failed:
+        print("failed indexes:", failed)
 
     # eval artifact next to the training curve (same fields as the
     # converted-weights rows in assets/benchmarks/<name>.json)
@@ -55,6 +58,7 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
             if bias
             else (kwargs or None),
             "converted_weights_row": f"assets/benchmarks/{name}.json",
+            "failed_indexes": failed,
         }
         stem = f"eval_{name}" + (f"_tmax{kwargs['t_max']}" if "t_max" in kwargs
                                  else "") + (f"_bias_{bias}" if bias else "")

@@ -112,9 +112,11 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         _serve.last_p50, _serve.last_p95 = out[5], out[6]
         return out[:5]
 
+    failed: list = []  # scalar GNN rows record failures for triage tools
     table = {
         "GNN": lambda env, idx: eval_gnn(
-            name, 1234, env, idx, use_tqdm=False, **over_scalar
+            name, 1234, env, idx, use_tqdm=False, failed_indexes=failed,
+            **over_scalar
         ),
         "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(
@@ -126,7 +128,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         # t_max=2000 override is a documented deviation; this row keeps the
         # cross-method comparison honest at t_max=500)
         "GNN-ref-budget": lambda env, idx: eval_gnn(
-            name, 1234, env, idx, use_tqdm=False
+            name, 1234, env, idx, use_tqdm=False, failed_indexes=failed
         ),
         "BIT*": lambda env, idx: eval_bit(name, 1234, env, idx),
         "LazySP": lambda env, idx: eval_lazysp(name, 1234, env, idx),
@@ -142,6 +144,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         env, indexes = str2env(name)
         idx = indexes[:n]
         print(f"=== {name} / {method} / {len(idx)} problems ===", flush=True)
+        failed.clear()
         t0 = time()
         out = table[method](env, idx)
         wall = time() - t0
@@ -164,6 +167,8 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         # emitted JSON, not just the registry source
         if over_scalar and method.startswith("GNN") and method != "GNN-ref-budget":
             results[method]["protocol_overrides"] = over_scalar
+        if failed and method in ("GNN", "GNN-ref-budget"):
+            results[method]["failed_indexes"] = list(failed)
         if shards and method == "GNN-batched":
             # sharded rows are a different serving shape: stamp the mesh so
             # they are never mistaken for the single-chip amortized row

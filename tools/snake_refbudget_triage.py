@@ -69,7 +69,13 @@ def _graph_has_path(env, F, v_np, edges_np):
     return False, int(len(a)), int(ok.sum())
 
 
-def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234):
+def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234, bias=None,
+         indexes=None):
+    """`indexes`: known-failed problem indexes (e.g. the `failed_indexes`
+    list an eval row records). Per-problem RNG streams make each problem's
+    draws independent of the rest of the sweep, so classification only
+    needs the stream replay + graph check — the 1000-problem explore
+    re-run is skipped."""
     import jax.numpy as jnp
 
     from gnn_motion_planning_tpu.api.eval_gnn import explore
@@ -79,19 +85,22 @@ def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234):
 
     env, idx = str2env("snake7")
     _, model, _, model_s, _ = str2name("snake7")
+    if bias:
+        env.sampler_bias = bias
     set_random_seed(seed)
 
     records = []
     n_fail = 0
     t0 = time()
-    for index in idx[:n]:
-        env.rng = problem_rng(seed, int(index))
-        env.init_new_problem(int(index))
-        # smooth=False returns (path, free, collided) on success and []
-        # on a failed final round (api/eval_gnn.py::explore)
-        res = explore(env, model, model_s, smooth=False, batch=500, t_max=500)
-        if res and res[0]:
-            continue
+    for index in indexes if indexes is not None else idx[:n]:
+        if indexes is None:
+            env.rng = problem_rng(seed, int(index))
+            env.init_new_problem(int(index))
+            # smooth=False returns (path, free, collided) on success and []
+            # on a failed final round (api/eval_gnn.py::explore)
+            res = explore(env, model, model_s, smooth=False, batch=500, t_max=500)
+            if res and res[0]:
+                continue
         n_fail += 1
 
         # replay the protocol stream: same draws as the failed run's round 1
@@ -138,8 +147,10 @@ def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234):
 
     summary = {
         "env": "snake7",
-        "protocol": {"batch": 500, "t_max": 500, "k": 30, "seed": seed},
+        "protocol": {"batch": 500, "t_max": 500, "k": 30, "seed": seed,
+                     "sampler_bias": bias},
         "n_problems": int(n),
+        "indexes_provided": indexes is not None,
         "n_failures": n_fail,
         "classes": {
             c: sum(r["class"] == c for r in records)
@@ -154,4 +165,20 @@ def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 250)
+    # usage: triage.py <n|eval_row.json> [out_name] [bias]
+    # an eval-row json (with "failed_indexes") skips the explore re-run
+    arg1 = sys.argv[1] if len(sys.argv) > 1 else "250"
+    indexes = None
+    n = 250
+    if arg1.endswith(".json"):
+        row = json.loads(Path(arg1).read_text())
+        indexes = row["failed_indexes"]
+        n = row["n_problems"]
+    else:
+        n = int(arg1)
+    main(
+        n,
+        sys.argv[2] if len(sys.argv) > 2 else "failures_snake7_refbudget.json",
+        bias=sys.argv[3] if len(sys.argv) > 3 else None,
+        indexes=indexes,
+    )
