@@ -153,11 +153,15 @@ def test_snake_straight_bias_sampler():
     np.testing.assert_array_equal(env._bias_draws(draws), draws)
 
     # reproducible: same seed + bias -> identical samples AND identical
-    # downstream stream position (the replay path consumed the same count)
+    # downstream stream position (the replay path consumed the same count).
+    # Replay re-inits the problem (resets the per-problem draw counter that
+    # anchors bias-row selection), exactly like the per-problem eval loop.
     env.sampler_bias = "straight"
+    env.set_problem_data(occ, np.zeros(7), np.ones(7) * 0.1)
     env.rng = set_random_seed(7)
     a, na = env.sample_n_points(50, need_negative=True)
     after_a = env.rng.uniform(0.0, 1.0, 3)
+    env.set_problem_data(occ, np.zeros(7), np.ones(7) * 0.1)
     env.rng = set_random_seed(7)
     b, nb = env.sample_n_points(50, need_negative=True)
     after_b = env.rng.uniform(0.0, 1.0, 3)
@@ -233,13 +237,71 @@ def test_snake_corridor_bias_sampler():
     )
     assert np.all(np.abs(biased[:, 2:]) <= np.pi)
 
-    # stream-exact under the chunked sampler
+    # stream-exact under the chunked sampler (replay re-inits the problem,
+    # resetting the per-problem draw counter, like the eval loop does)
+    env.set_problem_data(occ, init, goal)
     env.rng = set_random_seed(7)
     a, na = env.sample_n_points(50, need_negative=True)
     after_a = env.rng.uniform(0.0, 1.0, 3)
+    env.set_problem_data(occ, init, goal)
     env.rng = set_random_seed(7)
     b, nb = env.sample_n_points(50, need_negative=True)
     after_b = env.rng.uniform(0.0, 1.0, 3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert len(na) == len(nb)
     np.testing.assert_array_equal(after_a, after_b)
+
+
+def test_snake_corridor_cache_and_chunk_invariance():
+    """Regression tests for two round-4 advisor findings (ADVICE.md):
+
+    1. `_corridor_cells` cached on `id(self.map)` — a recycled allocator
+       address (or the same map object with new init/goal via
+       set_problem_data) could serve the previous problem's corridor.
+       Now: explicit invalidation + strong-ref key incl. init/goal.
+    2. Bias-row selection was relative to each accept-rate chunk, so the
+       same rng stream got different rows biased depending on the EMA
+       history. Now: rows come from the absolute per-problem draw count,
+       so the biased transform is chunking-independent.
+    """
+
+    from gnn_motion_planning_tpu.envs import SnakeEnv
+
+    env = SnakeEnv(map_file=None)
+    occ1 = np.zeros((15, 15))
+    occ1[7, :] = 1
+    occ1[7, 3] = 0
+    init = np.zeros(7)
+    init[:2] = (1.4 * 2 - 10.5, 1.4 * 7 - 10.5)
+    goal = np.zeros(7)
+    goal[:2] = (1.4 * 12 - 10.5, 1.4 * 7 - 10.5)
+    env.set_problem_data(occ1, init, goal)
+    env.sampler_bias = "corridor"
+    cells1, _ = env._corridor_cells()
+
+    # same map object, new init/goal -> corridor must be recomputed
+    init2 = np.zeros(7)
+    init2[:2] = (1.4 * 2 - 10.5, 1.4 * 3 - 10.5)  # cell (2, 3): same side
+    goal2 = np.zeros(7)
+    goal2[:2] = (1.4 * 2 - 10.5, 1.4 * 11 - 10.5)  # cell (2, 11)
+    env.set_problem_data(occ1, init2, goal2)
+    cells2, _ = env._corridor_cells()
+    assert cells1.shape != cells2.shape or not np.array_equal(cells1, cells2)
+
+    # mutated init/goal without set_problem_data (set_random_init_goal
+    # path): the strong-ref key must notice
+    env.init_state = init
+    env.goal_state = goal
+    cells3, _ = env._corridor_cells()
+    assert np.array_equal(cells3, cells1)
+
+    # chunk-splitting independence: biasing one 64-row block equals
+    # biasing it as 64 single rows at the right offsets
+    env.set_problem_data(occ1, init, goal)
+    u = np.random.RandomState(3).uniform(-np.pi, np.pi, (64, 7))
+    u[:, :2] *= 9.0 / np.pi
+    whole = env._bias_draws(u, offset=0)
+    rows = np.stack(
+        [env._bias_draws(u[i : i + 1], offset=i)[0] for i in range(64)]
+    )
+    np.testing.assert_array_equal(whole, rows)

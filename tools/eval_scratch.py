@@ -46,24 +46,24 @@ def main(ckpt="assets/weights_jax/weights_maze_scratch.npz",
     import json
 
     log_dir = REPO / "assets" / "train_logs" / f"{name}_explorer_scratch"
-    if log_dir.is_dir():
-        row = {
-            "ckpt": Path(ckpt).name,
-            "n_problems": int(n),
-            "success": int(out[0]),
-            "collision_checks": float(out[1]),
-            "running_time_s": float(out[2]),
-            "path_cost": float(out[3]),
-            "protocol_overrides": dict(kwargs, sampler_bias=bias)
-            if bias
-            else (kwargs or None),
-            "converted_weights_row": f"assets/benchmarks/{name}.json",
-            "failed_indexes": failed,
-        }
-        stem = f"eval_{name}" + (f"_tmax{kwargs['t_max']}" if "t_max" in kwargs
-                                 else "") + (f"_bias_{bias}" if bias else "")
-        (log_dir / f"{stem}.json").write_text(json.dumps(row, indent=1))
-        print("wrote", log_dir / f"{stem}.json")
+    log_dir.mkdir(parents=True, exist_ok=True)
+    row = {
+        "ckpt": Path(ckpt).name,
+        "n_problems": int(n),
+        "success": int(out[0]),
+        "collision_checks": float(out[1]),
+        "running_time_s": float(out[2]),
+        "path_cost": float(out[3]),
+        "protocol_overrides": dict(kwargs, sampler_bias=bias)
+        if bias
+        else (kwargs or None),
+        "converted_weights_row": f"assets/benchmarks/{name}.json",
+        "failed_indexes": failed,
+    }
+    stem = f"eval_{name}" + (f"_tmax{kwargs['t_max']}" if "t_max" in kwargs
+                             else "") + (f"_bias_{bias}" if bias else "")
+    (log_dir / f"{stem}.json").write_text(json.dumps(row, indent=1))
+    print("wrote", log_dir / f"{stem}.json")
     return out
 
 
