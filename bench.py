@@ -18,9 +18,15 @@ from pathlib import Path
 
 import numpy as np
 
-# recorded throughput of the reference MazeEnv._edge_fp loop on this host
-# (checks/sec), re-measured live whenever /root/reference is available
-_RECORDED_REF_CHECKS_PER_SEC = 60000.0
+# Recorded idle-host throughput of the reference MazeEnv._edge_fp loop on
+# this machine (checks/sec). Acts as a FLOOR for the live denominator: the
+# round-4 bench measured the reference at 11.1k checks/s under loadavg 1.31
+# (settle guard expired) and published an 8179x ratio that idle reruns put
+# at ~2900x. Idle-host live rates across rounds: ~26.7k (BENCH_r02),
+# ~30.9k (BENCH_r03) — the floor is set just under those so a loaded
+# measurement can never deflate the denominator, while a genuine idle
+# measurement (which always reads above it) is used as-is.
+_RECORDED_REF_CHECKS_PER_SEC = 26000.0
 
 _N_EDGES = 32768
 _REPS = 30
@@ -114,13 +120,16 @@ def measure_reference(a, b, budget_s=3.0, passes=3):
     return float(np.median(rates)) if rates else None
 
 
-def _settle_host(threshold: float = 0.6, budget_s: float = 120.0):
+def _settle_host(threshold: float = 0.6, budget_s: float = 240.0) -> bool:
     """Wait (bounded) for host load to drop before timing.
 
     Both sides of the ratio are host-sensitive on a 1-core machine: the TPU
     rate is dispatch-bound over the tunnel and the reference rate is pure
     host CPU. A concurrent build/test process depresses either by 10-20%
-    (observed round 3 -> 4 drift), so refuse to measure into the noise.
+    (observed round 3 -> 4 drift; round 4 published an 8179x ratio that was
+    really ~2900x). Returns True iff the load settled; callers must NOT use
+    a live denominator measured after a False return (main() falls back to
+    the recorded idle-host rate instead).
     """
 
     import os
@@ -129,26 +138,33 @@ def _settle_host(threshold: float = 0.6, budget_s: float = 120.0):
     while time.perf_counter() - t0 < budget_s:
         load = os.getloadavg()[0]
         if load < threshold:
-            return
+            return True
         time.sleep(5.0)
     print(
         f"warning: host load {os.getloadavg()[0]:.2f} after {budget_s:.0f}s "
-        "wait; numbers may read low",
+        "wait; using recorded baseline denominator",
         file=sys.stderr,
     )
+    return False
 
 
 def main():
     from gnn_motion_planning_tpu.envs.maze import MazeEnv
 
-    _settle_host()
+    settled = _settle_host()
     env = MazeEnv(dim=2)
     env.init_new_problem(2000)
     rng = np.random.RandomState(0)
     a, b = _sample_edges(env, rng, _N_EDGES)
 
     tpu_cps = measure_tpu(env, a, b)
-    ref_cps = measure_reference(a, b) or _RECORDED_REF_CHECKS_PER_SEC
+    # Denominator discipline (round-4 verdict): a loaded host deflates the
+    # live reference rate and inflates the ratio. If the load never
+    # settled, skip the live measurement entirely; if it did, still clamp
+    # to the recorded idle-host floor so an undetected load spike between
+    # the settle check and the measurement cannot fake a >2x ratio jump.
+    live_ref = measure_reference(a, b) if settled else None
+    ref_cps = max(live_ref or 0.0, _RECORDED_REF_CHECKS_PER_SEC)
 
     print(
         json.dumps(
@@ -157,6 +173,12 @@ def main():
                 "value": round(tpu_cps, 1),
                 "unit": "checks/s",
                 "vs_baseline": round(tpu_cps / ref_cps, 2),
+                "baseline_checks_per_sec": round(ref_cps, 1),
+                "baseline_source": (
+                    "live" if live_ref and live_ref > _RECORDED_REF_CHECKS_PER_SEC
+                    else "recorded_floor"
+                ),
+                "host_settled": settled,
             }
         )
     )
