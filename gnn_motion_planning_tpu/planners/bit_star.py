@@ -5,11 +5,26 @@ algorithm/bit_star.py:18-334): informed ellipsoid batch sampling, lazily
 evaluated edge queue ordered by optimistic solution cost, vertex expansion
 within a shrinking RGG radius, pruning on solution improvement.
 
-TPU-native differences: candidate batches are collision-checked in one
-device call instead of one PyBullet call per sample (the env's batched
-oracle), neighbour scans are vectorised numpy instead of per-sample Python
-loops, and the RNG is the owned per-env stream. The search control flow
-(heaps, g-scores) stays on the host — it is latency- not compute-bound.
+Design differences from the reference (beyond the batched oracle):
+
+* **Multi-root native.** The tree is seeded from ``roots`` (one for the
+  standard planner); g/f-scores, heuristics and backtracking take the
+  nearest root. The multi-start forest variant
+  (:class:`~.bit_star_variants.BITStarTree`, reference
+  algorithm/bit_star_tree.py:18-96) is then just a constructor, not a
+  re-implementation of the bookkeeping.
+* **Lazy ellipsoid frame.** The informed-sampling rotation is computed on
+  the first informed draw (it is only defined once a solution cost is
+  finite) instead of at setup time.
+* **One shrinking-radius helper.** ``_shrinking_radius(q)`` owns the whole
+  RGG radius formula (free-volume estimate -> gamma -> ``(log q / q)^1/n``
+  shrink); the reference splits it across ``radius_init`` and an inline
+  expression in the main loop.
+* **Batched candidate evaluation.** Candidate batches are
+  collision-checked in one device call (``env._batch_free``) instead of
+  one PyBullet call per sample, and neighbour scans are vectorised numpy.
+  The search control flow (heaps, parent map) stays on the host — it is
+  latency- not compute-bound.
 """
 
 from __future__ import annotations
@@ -24,6 +39,17 @@ INF = float("inf")
 
 
 class BITStar:
+    """Batch Informed Trees over the env's batched collision oracle.
+
+    Public protocol (matches the reference driver surface,
+    eval_bit.py:82-115): construct per problem, ``plan(...)`` returns
+    ``(samples, parent_map, n_collision_checks, best_cost, n_samples,
+    wall_s)``; ``get_best_path()`` afterwards.
+    """
+
+    # RGG stretch factor (reference bit_star.py:51: eta = 1.1)
+    ETA = 1.1
+
     def __init__(
         self,
         environment,
@@ -33,57 +59,77 @@ class BITStar:
         T: int = 1000,
         sampling=None,
         timer=None,
+        roots=None,
     ):
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
         self.env = environment
-        self.start = tuple(environment.init_state)
-        self.goal = tuple(environment.goal_state)
-        self.bounds = np.array(environment.bound).reshape((2, -1)).T
+        self.timer = timer if timer is not None else Timer()
+        self.batch_size = batch_size
+        self.T, self.T_max = 0, T
+        self.maxIter = maxIter
+        self.sampling = sampling if sampling is not None else self.informed_sample
+
+        # configuration-space box: (dim, 2) rows of [lo, hi]
+        self.bounds = np.asarray(environment.bound, float).reshape(2, -1).T
         self.ranges = self.bounds[:, 1] - self.bounds[:, 0]
         self.dimension = environment.config_dim
 
-        self.vertices = []
-        self.edges = {}
-        self.g_scores = {}
-        self.samples = []
-        self.vertex_queue = []
-        self.edge_queue = []
-        self.old_vertices = set()
+        self.goal = tuple(environment.goal_state)
+        self.roots = (
+            tuple(tuple(r) for r in roots)
+            if roots is not None
+            else (tuple(environment.init_state),)
+        )
+        self._root_set = set(self.roots)
+        self.start = self.roots[0]
+        # tightest possible solution cost; the informed ellipsoid's focal
+        # distance (reference bit_star.py:56)
+        self.c_min = min(self.distance(r, self.goal) for r in self.roots)
 
-        self.maxIter = maxIter
-        self.r = INF
-        self.batch_size = batch_size
-        self.T, self.T_max = 0, T
-        self.eta = 1.1
+        # tree state: parent map + cost-to-come, explicit vertex list (its
+        # order is the heap tie-breaking order), pool of not-yet-connected
+        # samples, and the two lazy BIT* queues
+        self.edges: dict = {}
+        self.g_scores: dict = {}
+        self.vertices: list = []
+        self.samples: list = []
+        self.vertex_queue: list = []
+        self.edge_queue: list = []
+        self.old_vertices: set = set()
 
-        self.c_min = self.distance(self.start, self.goal)
-        self.center_point = None
-        self.C = None
-        self.sampling = sampling if sampling is not None else self.informed_sample
-
-        self.n_collision_points = 0
+        # free-volume estimate feeding the RGG radius (the two roots/goal
+        # count as free; reference bit_star.py:66-67)
         self.n_free_points = 2
+        self.n_collision_points = 0
+
+        self._frame = None  # lazy informed-ellipsoid (center, rotation)
+        self.r = INF
         self.deadline = None  # wall-clock bound honoured inside sampling
 
-        from gnn_motion_planning_tpu.utils.timer import Timer
+    # -- seeding / geometry ----------------------------------------------------
 
-        # reference bit_star.py:19-23 timer protocol (tags: SAMPLE on
-        # batch sampling, EXPAND on neighbour scans, HEAP on queue rebuilds)
-        self.timer = timer if timer is not None else Timer()
+    def setup_planning(self) -> float:
+        """Seed the tree (all roots at g=0) and the sample pool (goal at
+        g=inf); returns the unshrunk RGG radius constant."""
 
-    # -- sampling ------------------------------------------------------------
-
-    def _rand(self):
-        return self.env.rng if getattr(self.env, "rng", None) is not None else np.random
-
-    def setup_planning(self):
         self.samples.append(self.goal)
         self.g_scores[self.goal] = INF
-        self.vertices.append(self.start)
-        self.g_scores[self.start] = 0
-        self.informed_sample_init()
-        return self.radius_init()
+        for root in self.roots:
+            self.vertices.append(root)
+            self.g_scores[root] = 0
+        return self._shrinking_radius(None)
 
-    def radius_init(self):
+    def _shrinking_radius(self, q: int | None) -> float:
+        """RGG connection radius after q samples (reference splits this
+        across radius_init :86-96 and the inline shrink :288).
+
+        ``2 eta ((1 + 1/n) vol_free / zeta_n)^(1/n)`` times
+        ``(log q / q)^(1/n)``; ``q=None`` returns the constant alone. The
+        free-space volume is estimated from the running accept/reject
+        counts of the sampler.
+        """
+
         from scipy import special
 
         n = self.dimension
@@ -94,32 +140,52 @@ class BITStar:
             / (self.n_collision_points + self.n_free_points)
         )
         gamma = (1.0 + 1.0 / n) * volume / unit_ball_volume
-        return 2 * self.eta * (gamma ** (1.0 / n))
+        constant = 2 * self.ETA * (gamma ** (1.0 / n))
+        if q is None:
+            return constant
+        return constant * ((math.log(q) / q) ** (1.0 / n))
 
-    def informed_sample_init(self):
-        self.center_point = (np.asarray(self.start) + np.asarray(self.goal)) / 2.0
-        a_1 = (np.asarray(self.goal) - np.asarray(self.start)) / self.c_min
-        M = np.outer(a_1, np.ones(self.dimension))
-        U, S, Vh = np.linalg.svd(M, 1, 1)
-        det_scale = np.linalg.det(U) * np.linalg.det(Vh.T)
-        self.C = U @ np.diag([1.0] * (self.dimension - 1) + [det_scale]) @ Vh
+    def _ellipsoid(self):
+        """Informed-sampling frame: (center, world-from-ellipsoid rotation).
+        Built on first use — it only matters once a finite solution cost
+        exists (reference computes it eagerly in informed_sample_init
+        :99-105)."""
+
+        if self._frame is None:
+            start = np.asarray(self.start)
+            goal = np.asarray(self.goal)
+            a_1 = (goal - start) / self.c_min
+            U, _, Vh = np.linalg.svd(np.outer(a_1, np.ones(self.dimension)), 1, 1)
+            det_scale = np.linalg.det(U) * np.linalg.det(Vh.T)
+            C = U @ np.diag([1.0] * (self.dimension - 1) + [det_scale]) @ Vh
+            self._frame = ((start + goal) / 2.0, C)
+        return self._frame
+
+    # -- sampling ----------------------------------------------------------------
+
+    def _rand(self):
+        rng = getattr(self.env, "rng", None)
+        return rng if rng is not None else np.random
 
     def _draw_candidates(self, c_best, n):
-        """n candidate points (vectorised informed/uniform draw)."""
+        """n candidate points: uniform over the box until a solution
+        exists, then uniform over the informed ellipsoid."""
 
         rng = self._rand()
-        if c_best < INF:
-            c_b = math.sqrt(max(c_best**2 - self.c_min**2, 0.0)) / 2.0
-            L = np.diag([c_best / 2.0] + [c_b] * (self.dimension - 1))
-            u = rng.normal(0, 1, (n, self.dimension))
-            u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
-            radii = rng.uniform(0, 1, n) ** (1.0 / self.dimension)
-            x_ball = u * radii[:, None]
-            return x_ball @ (self.C @ L).T + self.center_point
-        return self.bounds[:, 0] + rng.uniform(0, 1, (n, self.dimension)) * self.ranges
+        if c_best == INF:
+            u = rng.uniform(0, 1, (n, self.dimension))
+            return self.bounds[:, 0] + u * self.ranges
+        center, C = self._ellipsoid()
+        c_b = math.sqrt(max(c_best**2 - self.c_min**2, 0.0)) / 2.0
+        L = np.diag([c_best / 2.0] + [c_b] * (self.dimension - 1))
+        u = rng.normal(0, 1, (n, self.dimension))
+        u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
+        radii = rng.uniform(0, 1, n) ** (1.0 / self.dimension)
+        return (u * radii[:, None]) @ (C @ L).T + center
 
     def _batch_point_free(self, pts: np.ndarray) -> np.ndarray:
-        """Batched _state_fp with reference counting (one count per check)."""
+        """Batched _state_fp with reference counting (one count per check)
+        and the free-volume tallies the radius estimate feeds on."""
 
         env = self.env
         if hasattr(env, "_batch_free"):
@@ -132,6 +198,8 @@ class BITStar:
         return free
 
     def informed_sample(self, c_best, sample_num, vertices, max_rounds: int = 500):
+        from gnn_motion_planning_tpu.utils.timer import Timer
+
         self.timer.start()
         out = []
         rounds = 0
@@ -142,36 +210,37 @@ class BITStar:
             out.extend(tuple(p) for p in cand[free])
             if self.deadline is not None and time() > self.deadline:
                 break
-        from gnn_motion_planning_tpu.utils.timer import Timer
-
         self.timer.finish(Timer.SAMPLE)
         return out[:sample_num]
 
     # -- scores --------------------------------------------------------------
 
+    @staticmethod
+    def distance(point1, point2):
+        return float(np.linalg.norm(np.asarray(point1) - np.asarray(point2)))
+
+    def heuristic_cost(self, point1, point2):
+        return self.distance(point1, point2)
+
+    def _h_root(self, point) -> float:
+        """Admissible cost-to-come: distance to the nearest root."""
+
+        return min(self.heuristic_cost(r, point) for r in self.roots)
+
     def get_g_score(self, point):
-        if point == self.start:
+        if point in self._root_set:
             return 0
         if point not in self.edges:
             return INF
         return self.g_scores.get(point)
 
     def get_f_score(self, point):
-        return self.heuristic_cost(self.start, point) + self.heuristic_cost(
-            point, self.goal
-        )
+        return self._h_root(point) + self.heuristic_cost(point, self.goal)
 
     def actual_edge_cost(self, point1, point2):
         if not self.env._edge_fp(np.array(point1), np.array(point2)):
             return INF
         return self.distance(point1, point2)
-
-    def heuristic_cost(self, point1, point2):
-        return self.distance(point1, point2)
-
-    @staticmethod
-    def distance(point1, point2):
-        return float(np.linalg.norm(np.asarray(point1) - np.asarray(point2)))
 
     def get_edge_value(self, edge):
         return (
@@ -183,86 +252,140 @@ class BITStar:
     def get_point_value(self, point):
         return self.get_g_score(point) + self.heuristic_cost(point, self.goal)
 
-    # -- queue maintenance ---------------------------------------------------
+    # -- batch boundary ---------------------------------------------------------
 
-    def bestVertexQueueValue(self):
-        return self.vertex_queue[0][0] if self.vertex_queue else INF
+    def _start_batch(self):
+        """Prune to the current-best ellipse, draw one sample batch, and
+        rebuild the vertex queue (reference main-loop head :277-288)."""
 
-    def bestEdgeQueueValue(self):
-        return self.edge_queue[0][0] if self.edge_queue else INF
+        from gnn_motion_planning_tpu.utils.timer import Timer
 
-    def prune(self, c_best):
+        c_best = self.g_scores[self.goal]
+        self._prune(c_best)
+        self.samples.extend(self.sampling(c_best, self.batch_size, self.vertices))
+        self.T += self.batch_size
+        self.old_vertices = set(self.vertices)
+
+        self.timer.start()
+        self.vertex_queue = [(self.get_point_value(p), p) for p in self.vertices]
+        heapq.heapify(self.vertex_queue)
+        self.timer.finish(Timer.HEAP)
+
+        q = len(self.vertices) + len(self.samples)
+        self.r = self._shrinking_radius(q)
+
+    def _prune(self, c_best):
+        """Drop samples, tree edges and vertices that cannot participate in
+        a solution better than c_best; disconnected survivors return to the
+        sample pool (reference prune :194-210)."""
+
         self.samples = [p for p in self.samples if self.get_f_score(p) < c_best]
-        for point, parent in list(self.edges.items()):
-            if self.get_f_score(point) > c_best or self.get_f_score(parent) > c_best:
-                self.edges.pop(point)
-        vertices_temp = []
+        self.edges = {
+            point: parent
+            for point, parent in self.edges.items()
+            if self.get_f_score(point) <= c_best
+            and self.get_f_score(parent) <= c_best
+        }
+        connected, orphaned = [], []
         for point in self.vertices:
             if self.get_f_score(point) <= c_best:
-                if self.get_g_score(point) == INF:
-                    self.samples.append(point)
-                else:
-                    vertices_temp.append(point)
-        self.vertices = vertices_temp
+                (orphaned if self.get_g_score(point) == INF else connected).append(
+                    point
+                )
+        self.samples.extend(orphaned)
+        self.vertices = connected
+
+    # -- expansion ----------------------------------------------------------------
 
     def expand_vertex(self, point):
-        """Vectorised neighbour scan (reference bit_star.py:212-247 does a
-        Python loop over every sample/vertex)."""
+        """Queue every potentially-improving edge out of ``point``
+        (vectorised; reference bit_star.py:212-247 loops over every
+        sample/vertex in Python)."""
+
         from gnn_motion_planning_tpu.utils.timer import Timer
 
         self.timer.start()
 
         p = np.asarray(point)
         goal = np.asarray(self.goal)
-        start = np.asarray(self.start)
         c_sol = self.g_scores[self.goal]
+        g_p = self.get_g_score(point)
+        h_start = self._h_root(point)
 
         if self.samples:
             s_arr = np.asarray(self.samples)
             d = np.linalg.norm(s_arr - p, axis=1)
             near = d <= self.r
             if near.any():
-                h_start = np.linalg.norm(p - start)
                 h_goal = np.linalg.norm(s_arr[near] - goal, axis=1)
                 est_f = h_start + d[near] + h_goal
-                g_p = self.get_g_score(point)
                 for ok, sample, dd, hg in zip(
                     est_f < c_sol, np.nonzero(near)[0], d[near], h_goal
                 ):
                     if ok:
                         nb = self.samples[sample]
                         heapq.heappush(
-                            self.edge_queue,
-                            (g_p + dd + hg, (point, nb)),
+                            self.edge_queue, (g_p + dd + hg, (point, nb))
                         )
 
         if point not in self.old_vertices and self.vertices:
             v_arr = np.asarray(self.vertices)
             d = np.linalg.norm(v_arr - p, axis=1)
-            near = np.nonzero(d <= self.r)[0]
-            g_p = self.get_g_score(point)
-            for vi in near:
+            for vi in np.nonzero(d <= self.r)[0]:
                 neighbor = self.vertices[vi]
-                if neighbor not in self.edges or point != self.edges.get(neighbor):
-                    est_f = (
-                        self.heuristic_cost(self.start, point)
-                        + d[vi]
-                        + self.heuristic_cost(neighbor, self.goal)
+                if neighbor in self.edges and point == self.edges.get(neighbor):
+                    continue  # already its parent
+                est_f = (
+                    h_start + d[vi] + self.heuristic_cost(neighbor, self.goal)
+                )
+                if est_f < c_sol and g_p + d[vi] < self.get_g_score(neighbor):
+                    heapq.heappush(
+                        self.edge_queue,
+                        (self.get_edge_value((point, neighbor)), (point, neighbor)),
                     )
-                    if est_f < c_sol:
-                        if g_p + d[vi] < self.get_g_score(neighbor):
-                            heapq.heappush(
-                                self.edge_queue,
-                                (self.get_edge_value((point, neighbor)), (point, neighbor)),
-                            )
         self.timer.finish(Timer.EXPAND)
+
+    def _rewire(self, parent, child, g_child):
+        """Adopt ``child`` at cost ``g_child``: promote it from the sample
+        pool into the tree if new, then drop queued edges into it that can
+        no longer improve it: keep (v, x) only while
+        g(v) + c_hat(v, x) < g(x).
+
+        The reference's filter (bit_star.py:320-322) self-compares
+        g(v) + h < g(v) — always false — silently dropping every queued
+        edge into x; this is the intended semantics
+        (tests/test_bit_star.py pins it).
+        """
+
+        self.g_scores[child] = g_child
+        self.edges[child] = parent
+        if child not in self.vertices:
+            self.samples.remove(child)
+            self.vertices.append(child)
+            heapq.heappush(
+                self.vertex_queue, (self.get_point_value(child), child)
+            )
+        # the filter runs on EVERY improving rewire (not only promotions):
+        # an improved g(child) can retire queued edges into an
+        # already-connected child too
+        self.edge_queue = [
+            item
+            for item in self.edge_queue
+            if item[1][1] != child
+            or self.get_g_score(item[1][0])
+            + self.heuristic_cost(item[1][0], item[1][1])
+            < self.get_g_score(child)
+        ]
+        heapq.heapify(self.edge_queue)
+
+    # -- results -------------------------------------------------------------------
 
     def get_best_path(self):
         path = []
         if self.g_scores[self.goal] != INF:
             path.append(self.goal)
             point = self.goal
-            while point != self.start:
+            while point not in self._root_set:
                 point = self.edges[point]
                 path.append(point)
             path.reverse()
@@ -271,10 +394,10 @@ class BITStar:
     def path_length_calculate(self, path):
         return sum(self.distance(path[i], path[i + 1]) for i in range(len(path) - 1))
 
-    # -- main loop (reference bit_star.py:266-334) ---------------------------
+    # -- main loop (reference bit_star.py:266-334) -----------------------------
 
     def plan(self, pathLengthLimit, refine_time_budget=None, time_budget=None):
-        collision_checks = self.env.collision_check_count
+        checks_before = self.env.collision_check_count
         if time_budget is None:
             time_budget = INF
         if refine_time_budget is None:
@@ -287,72 +410,37 @@ class BITStar:
 
         while self.T < self.T_max and (time() - init_time < time_budget):
             if not self.vertex_queue and not self.edge_queue:
-                c_best = self.g_scores[self.goal]
-                self.prune(c_best)
-                self.samples.extend(self.sampling(c_best, self.batch_size, self.vertices))
-                self.T += self.batch_size
-                self.old_vertices = set(self.vertices)
-                self.timer.start()
-                self.vertex_queue = [
-                    (self.get_point_value(p), p) for p in self.vertices
-                ]
-                heapq.heapify(self.vertex_queue)
-                from gnn_motion_planning_tpu.utils.timer import Timer
+                self._start_batch()
 
-                self.timer.finish(Timer.HEAP)
-                q = len(self.vertices) + len(self.samples)
-                self.r = self.radius_init() * (
-                    (math.log(q) / q) ** (1.0 / self.dimension)
-                )
-
+            # expand vertices while the best vertex could still beat the
+            # best queued edge (lazy queue interleave, reference :296-303)
             while self.vertex_queue and (
-                self.bestVertexQueueValue() <= self.bestEdgeQueueValue()
+                (self.vertex_queue[0][0] if self.vertex_queue else INF)
+                <= (self.edge_queue[0][0] if self.edge_queue else INF)
             ):
                 _, point = heapq.heappop(self.vertex_queue)
                 self.expand_vertex(point)
             if not self.edge_queue:
                 if not self.vertex_queue:
                     continue
-                else:
-                    raise RuntimeError("edge queue empty with vertices pending")
+                raise RuntimeError("edge queue empty with vertices pending")
 
-            best_edge_value, bestEdge = heapq.heappop(self.edge_queue)
+            best_edge_value, (u, x) = heapq.heappop(self.edge_queue)
 
             if best_edge_value < self.g_scores[self.goal]:
-                actual_cost_of_edge = self.actual_edge_cost(bestEdge[0], bestEdge[1])
-                actual_f_edge = (
-                    self.heuristic_cost(self.start, bestEdge[0])
-                    + actual_cost_of_edge
-                    + self.heuristic_cost(bestEdge[1], self.goal)
+                edge_cost = self.actual_edge_cost(u, x)
+                true_f = (
+                    self.heuristic_cost(self.start, u)
+                    + edge_cost
+                    + self.heuristic_cost(x, self.goal)
                 )
-                if actual_f_edge < self.g_scores[self.goal]:
-                    actual_g = self.get_g_score(bestEdge[0]) + actual_cost_of_edge
-                    if actual_g < self.get_g_score(bestEdge[1]):
-                        self.g_scores[bestEdge[1]] = actual_g
-                        self.edges[bestEdge[1]] = bestEdge[0]
-                        if bestEdge[1] not in self.vertices:
-                            self.samples.remove(bestEdge[1])
-                            self.vertices.append(bestEdge[1])
-                            heapq.heappush(
-                                self.vertex_queue,
-                                (self.get_point_value(bestEdge[1]), bestEdge[1]),
-                            )
-                        # prune queued edges into the improved vertex that can
-                        # no longer better it: keep (v, x) only while
-                        # g(v) + c_hat(v, x) < g(x). The reference's filter
-                        # (bit_star.py:320-322) self-compares g(v)+h < g(v),
-                        # which is always false and silently drops every
-                        # queued edge into x; this is the intended semantics.
-                        self.edge_queue = [
-                            item
-                            for item in self.edge_queue
-                            if item[1][1] != bestEdge[1]
-                            or self.get_g_score(item[1][0])
-                            + self.heuristic_cost(item[1][0], item[1][1])
-                            < self.get_g_score(bestEdge[1])
-                        ]
-                        heapq.heapify(self.edge_queue)
+                if true_f < self.g_scores[self.goal]:
+                    g_x = self.get_g_score(u) + edge_cost
+                    if g_x < self.get_g_score(x):
+                        self._rewire(u, x, g_x)
             else:
+                # best queued edge can no longer improve the solution:
+                # finish this batch
                 self.vertex_queue = []
                 self.edge_queue = []
             if self.g_scores[self.goal] < pathLengthLimit and (
@@ -362,7 +450,7 @@ class BITStar:
         return (
             self.samples,
             self.edges,
-            self.env.collision_check_count - collision_checks,
+            self.env.collision_check_count - checks_before,
             self.g_scores[self.goal],
             self.T,
             time() - init_time,

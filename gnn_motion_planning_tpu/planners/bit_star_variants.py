@@ -46,45 +46,14 @@ class BITStarTrack(BITStar):
 
 
 class BITStarTree(BITStar):
-    """Multi-start BIT*: g(start_i) = 0 for every start; heuristics use the
-    nearest start."""
+    """Multi-start BIT* (forest): g(start_i) = 0 for every start;
+    heuristics and backtracking use the nearest start.
+
+    Since the base planner is multi-root native (``roots=``), this variant
+    is just the constructor mapping the reference's ``starts`` argument
+    (reference algorithm/bit_star_tree.py:18-96) onto it.
+    """
 
     def __init__(self, environment, starts, **kwargs):
-        super().__init__(environment, **kwargs)
-        self.starts = [tuple(s) for s in starts]
-        self.start = self.starts[0]
-        self.c_min = min(self.distance(s, self.goal) for s in self.starts)
-
-    def setup_planning(self):
-        self.samples.append(self.goal)
-        self.g_scores[self.goal] = INF
-        for start in self.starts:
-            self.vertices.append(start)
-            self.g_scores[start] = 0
-        self.informed_sample_init()
-        return self.radius_init()
-
-    def get_g_score(self, point):
-        if point in self.starts:
-            return 0
-        if point not in self.edges:
-            return INF
-        return self.g_scores.get(point)
-
-    def heuristic_cost(self, point1, point2):
-        return self.distance(point1, point2)
-
-    def get_f_score(self, point):
-        src = min(self.heuristic_cost(s, point) for s in self.starts)
-        return src + self.heuristic_cost(point, self.goal)
-
-    def get_best_path(self):
-        path = []
-        if self.g_scores[self.goal] != INF:
-            path.append(self.goal)
-            point = self.goal
-            while point not in self.starts:
-                point = self.edges[point]
-                path.append(point)
-            path.reverse()
-        return path
+        super().__init__(environment, roots=starts, **kwargs)
+        self.starts = list(self.roots)

@@ -80,3 +80,39 @@ def test_edge_queue_prune_semantics():
     assert (near, x) in kept_edges  # 0.9 + 0.05 < 1.0
     assert (far, x) not in kept_edges  # 0.9 + ~2 >= 1.0
     assert (near, other) in kept_edges
+
+
+def test_bit_star_variants():
+    """BITStarTrack records explored nodes/edges; BITStarTree plans from
+    multiple roots and backtracks to whichever root won."""
+
+    from gnn_motion_planning_tpu.planners.bit_star_variants import (
+        BITStarTrack,
+        BITStarTree,
+    )
+
+    env, idx = str2env("maze2easy")
+    env.rng = set_random_seed(7)
+    env.init_new_problem(int(idx[0]))
+
+    track = BITStarTrack(env, batch_size=50, T=300)
+    *_, cost, _, _ = track.plan(INF, refine_time_budget=0, time_budget=30)
+    assert track.explored_edges, "tracking variant recorded no edges"
+    assert len(track.explored_nodes) >= 2
+    assert all(
+        0 <= a < len(track.explored_nodes) and 0 <= b < len(track.explored_nodes)
+        for a, b in track.explored_edges
+    )
+
+    env.rng = set_random_seed(7)
+    env.init_new_problem(int(idx[0]))
+    second = np.clip(
+        np.asarray(env.goal_state) + 0.05, -0.95, 0.95
+    )  # a second root near the goal makes the forest trivially solvable
+    tree = BITStarTree(env, [env.init_state, second], batch_size=50, T=600)
+    *_, cost, _, _ = tree.plan(INF, refine_time_budget=0, time_budget=30)
+    if cost != INF:
+        path = tree.get_best_path()
+        roots = {tuple(r) for r in tree.starts}
+        assert tuple(path[0]) in roots
+        assert np.allclose(path[-1], env.goal_state)
