@@ -50,6 +50,7 @@ def explore_batch(
     chunk: int = 64,
     seed: int = 1234,
     mesh=None,
+    stats: list | None = None,
 ):
     """Plan a group of problems simultaneously — the TPU-native serving
     shape. One vmapped device call runs the model forward; the greedy
@@ -73,6 +74,11 @@ def explore_batch(
     metrics stay bit-identical to the unsharded path (dummy padding lanes
     are never read). See tools/run_benchmarks.py --shards and
     tests/test_multichip.py for the 8-way virtual-mesh check.
+
+    ``stats``: optional caller-owned list; one dict per lane group is
+    appended with the phase breakdown (host sampling wall, per-chunk-round
+    device wall + stacked width, smoothing wall, scalar-fallback count),
+    feeding tools/profile_batched.py. No effect on results.
 
     Returns a list of per-problem result dicts (same payload as explore).
     """
@@ -132,6 +138,8 @@ def explore_batch(
             obs_t.append(ot)
             obs_m.append(om)
 
+        t_sample = time() - t0
+
         # pad short tail groups to the full lane width: every group then
         # reuses the `lanes`-wide compiled programs (plus the power-of-two
         # compaction widths below it) instead of compiling a fresh program
@@ -184,10 +192,15 @@ def explore_batch(
         prev_b = np.zeros((B, N), np.int32)
         explored_b = np.zeros((B, N), bool)
 
+        round_log = []  # (stacked width, live lanes, device-round wall)
         while True:
+            t_r = time()
             res = planner.round_vchunk(*st, _place(jnp.asarray(dummy)), chunk=chunk)
             done = np.asarray(res.done)
             live = ~dummy
+            round_log.append(
+                (len(pool), int(live.sum()), round(time() - t_r, 4))
+            )
             checks_np = np.asarray(res.n_checks)
             np.add.at(checks_b, pool[live], checks_np[live])
             fin = np.nonzero(done & live)[0]
@@ -342,6 +355,18 @@ def explore_batch(
                 smooth_counts[li] = env.collision_check_count - c0
         smooth_time = time() - t_sm
 
+        if stats is not None:
+            stats.append({
+                "group_size": B,
+                "stacked_width": W,
+                "sample_s": round(t_sample, 4),
+                "search_rounds": round_log,
+                "search_s": round(sum(r[2] for r in round_log), 4),
+                "smooth_s": round(smooth_time, 4),
+                "group_s": round(time() - t0, 4),
+                "first_round_failures": int(B - success_b.sum()),
+            })
+
         for li, idx in enumerate(group):
             if success_b[li]:
                 results[idx] = {
@@ -360,14 +385,22 @@ def explore_batch(
     # re-seed the problem's stream from the start so the fallback IS the
     # scalar run of that problem (its first round repeats the failed
     # batched round draw-for-draw, then continues to rounds 2+)
+    t_fb = time()
+    n_fb = 0
     for idx in indexes:
         if idx not in results:
+            n_fb += 1
             env.rng = problem_rng(seed, int(idx))
             env.init_new_problem(int(idx))
             results[idx] = _protocol().explore(
                 env, model, model_s, smooth=smooth, batch=batch, t_max=t_max, k=k,
                 loop=loop,
             )
+    if stats is not None and n_fb:
+        stats.append({
+            "scalar_fallbacks": n_fb,
+            "fallback_s": round(time() - t_fb, 4),
+        })
     return [results[idx] for idx in indexes]
 
 

@@ -116,9 +116,18 @@ def explore(
     k: int = 30,
     smoother: str = "model",
     loop: int = 5,
+    strict_fallback: bool = False,
 ):
     """GNN-guided planning for the env's current problem
-    (reference eval_gnn.py:168-276; same return payload)."""
+    (reference eval_gnn.py:168-276; same return payload).
+
+    ``strict_fallback`` (opt-in, off under the reference protocol): when
+    the capsule-feasible graph exhausts without success on an arm env,
+    re-admit capsule-blocked RGG edges that the sound hull-surface
+    verifier certifies free (planners/strict_fallback.py) — recovering
+    the ``oracle_conservatism`` failure class the round-4 triage
+    identified. All extra checks are counted; the result carries
+    ``strict_certified=True``."""
 
     planner = get_planner(env)
     scene = env.device_scene()
@@ -156,9 +165,11 @@ def explore(
 
     state = None  # persistent (explored, prev, costs, edge_dead) as numpy
     v_np = None
+    fb_F = fb_C = 0  # the (free, collided) split v_np was built with
     while not success and (len(free) - 2) <= t_max:
         F = len(free)
         C = len(collided)
+        fb_F, fb_C = F, C
         N = 2 * F
         v_np = np.zeros((N, d), np.float32)
         v_np[:F] = np.asarray(free, np.float32)
@@ -281,6 +292,30 @@ def explore(
             collided = collided + list(new_collided)
             collided = collided[: len(free)]
 
+    strict_certified = False
+    if not success and strict_fallback and v_np is not None:
+        from gnn_motion_planning_tpu.graphs.knn import build_rgg_edges
+        from gnn_motion_planning_tpu.planners.strict_fallback import (
+            strict_fallback_path,
+        )
+
+        edges = build_rgg_edges(
+            jnp.asarray(v_np),
+            jnp.asarray(np.arange(len(v_np)) < fb_F + fb_C),
+            fb_F,
+            k_scaled(k, fb_F),
+        )
+        edge_dead = (
+            np.asarray(state[3])
+            if state is not None and state[3] is not None
+            else np.zeros((len(v_np), len(v_np)), bool)
+        )
+        idx_path = strict_fallback_path(env, v_np, fb_F, edges, edge_dead)
+        if idx_path is not None:
+            success = True
+            strict_certified = True
+            path = [v_np[i] for i in idx_path]
+
     c_explore = env.collision_check_count - c0
     c1 = env.collision_check_count
     t1 = time()
@@ -318,6 +353,7 @@ def explore(
         "total": total_time - t0,
         "total_explore": t1 - t0,
         "success": success,
+        "strict_certified": strict_certified,
         "t0": t0,
         "path": path,
         "smooth_path": smooth_path,

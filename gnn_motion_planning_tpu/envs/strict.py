@@ -246,3 +246,45 @@ def make_strict_hit_dual(chain, surface: SurfacePoints, base1, base2, margin: fl
         return h1(scene, q[:dof]) | h2(scene, q[dof:])
 
     return strict_hit
+
+
+def strict_checker(env, spacing: float = 0.01):
+    """Hull-surface strict checker for an arm env instance, or None for
+    envs whose production oracle is already exact (maze, snake grids).
+
+    Builds the link-hull surface sampling once per env instance (~30 s for
+    the KUKA meshes) and caches it on the env. Used by the failure-triage
+    tools and by the opt-in strict-fallback planner stage
+    (planners/strict_fallback.py).
+    """
+
+    cached = getattr(env, "_strict_hit_fn", None)
+    if cached is not None:
+        return cached
+    kind = type(env).__name__
+    if kind not in ("KukaEnv", "Kuka2Env", "UR5Env"):
+        return None
+    from gnn_motion_planning_tpu.utils.assets import asset_path
+
+    urdf = asset_path(getattr(env, "kuka_file", "ur5/ur5.urdf"))
+    surface = build_surface_points(env.model, str(urdf), spacing=spacing)
+    if kind == "Kuka2Env":
+        fn = make_strict_hit_dual(env.chain, surface, env.base1, env.base2)
+    else:
+        plane_point_mask = None
+        if kind == "UR5Env":
+            cap_link = np.asarray(env.chain.cap_link)
+            plane_frames = set(
+                cap_link[np.asarray(env.geom.plane_mask)].tolist()
+            )
+            plane_point_mask = np.isin(
+                np.asarray(surface.frame), sorted(plane_frames)
+            )
+        fn = make_strict_hit(
+            env.chain,
+            surface,
+            base_trans=getattr(env, "base_trans", None),
+            plane_point_mask=plane_point_mask,
+        )
+    env._strict_hit_fn = fn
+    return fn

@@ -1,0 +1,137 @@
+"""Strict-hull fallback stage (planners/strict_fallback.py).
+
+Unit-level: the LazySP repair loop re-admits capsule-dead edges the hull
+verifier certifies, removes edges it rejects, counts every hull-verified
+interpolated state as a collision check, and gives up cleanly. The heavy
+kuka14 integration (surface-point build + real planning on the two
+oracle_conservatism problems) runs via tools/strict_fallback_eval.py and
+is pinned by its committed artifact in test_strict_fallback_artifact.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gnn_motion_planning_tpu.graphs.knn import EdgeList
+from gnn_motion_planning_tpu.planners import strict_fallback as sf
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+class StubEnv:
+    RRT_EPS = 0.1
+    config_dim = 2
+
+    def __init__(self, v, capsule_free_pairs):
+        self.collision_check_count = 0
+        self._v = v
+        self._free = {tuple(sorted(p)) for p in capsule_free_pairs}
+
+    def _pair(self, a, b):
+        return tuple(
+            sorted(
+                int(np.argmin(np.linalg.norm(self._v - np.asarray(p), axis=1)))
+                for p in (a, b)
+            )
+        )
+
+    def _edge_fp(self, a, b):
+        self.collision_check_count += 1
+        return self._pair(a, b) in self._free
+
+
+def _edge_list(pairs, n):
+    src = np.array([a for a, b in pairs] + [b for a, b in pairs], np.int32)
+    dst = np.array([b for a, b in pairs] + [a for a, b in pairs], np.int32)
+    return EdgeList(src, dst, np.ones(len(src), bool))
+
+
+def test_fallback_readmits_hull_free_edges(monkeypatch):
+    # nodes: 0=init, 1=goal, 2=detour. Direct edge (0,1) is capsule-dead
+    # AND hull-hit; (0,2) is capsule-dead but hull-free (the conservatism
+    # case); (2,1) is unchecked and capsule-free.
+    v = np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 0.4]], np.float32)
+    edges = _edge_list([(0, 1), (0, 2), (2, 1)], 3)
+    dead = np.zeros((3, 3), bool)
+    dead[0, 1] = dead[1, 0] = True
+    dead[0, 2] = dead[2, 0] = True
+
+    env = StubEnv(v, capsule_free_pairs={(2, 1)})
+
+    hull_free = {(0, 2)}  # by node pair
+
+    def fake_checker(e):
+        return "stub-checker"
+
+    def fake_validate(e, seg, checker):
+        a, b = np.asarray(seg[0]), np.asarray(seg[1])
+        pair = tuple(
+            sorted(
+                int(np.argmin(np.linalg.norm(v - p, axis=1))) for p in (a, b)
+            )
+        )
+        return 0 if tuple(pair) in hull_free else 3
+
+    import gnn_motion_planning_tpu.envs.strict as strict_mod
+
+    monkeypatch.setattr(strict_mod, "strict_checker", fake_checker)
+    monkeypatch.setattr(strict_mod, "validate_path_strict", fake_validate)
+
+    c0 = env.collision_check_count
+    path = sf.strict_fallback_path(env, v, 3, edges, dead)
+    assert path == [0, 2, 1]
+    # accounting: two hull verifications (direct edge rejected, detour
+    # accepted) at >= 2 states each, plus one capsule check for (2,1)
+    assert env.collision_check_count - c0 >= 2 * 2 + 1
+
+
+def test_fallback_gives_up_when_nothing_certifies(monkeypatch):
+    v = np.array([[0.0, 0.0], [1.0, 0.0]], np.float32)
+    edges = _edge_list([(0, 1)], 2)
+    dead = np.ones((2, 2), bool)
+    env = StubEnv(v, capsule_free_pairs=set())
+
+    import gnn_motion_planning_tpu.envs.strict as strict_mod
+
+    monkeypatch.setattr(strict_mod, "strict_checker", lambda e: "stub")
+    monkeypatch.setattr(
+        strict_mod, "validate_path_strict", lambda e, seg, c: 5
+    )
+    assert sf.strict_fallback_path(env, v, 2, edges, dead) is None
+
+
+def test_fallback_none_for_exact_oracle_envs():
+    """Maze/snake oracles are exact: strict_checker(env) is None and the
+    stage declines."""
+
+    from gnn_motion_planning_tpu.envs import MazeEnv
+    from gnn_motion_planning_tpu.envs.strict import strict_checker
+
+    env = MazeEnv(dim=2)
+    assert strict_checker(env) is None
+    v = np.zeros((2, 2), np.float32)
+    assert (
+        sf.strict_fallback_path(
+            env, v, 2, _edge_list([(0, 1)], 2), np.zeros((2, 2), bool)
+        )
+        is None
+    )
+
+
+def test_strict_fallback_artifact():
+    """kuka14 oracle_conservatism recovery, pinned by the committed
+    artifact (produced on the real pipeline by
+    tools/strict_fallback_eval.py)."""
+
+    path = REPO / "assets" / "benchmarks" / "strict_fallback_kuka14.json"
+    if not path.exists():
+        pytest.skip("artifact pending (tools/strict_fallback_eval.py)")
+    art = json.loads(path.read_text())
+    rows = {r["index"]: r for r in art["rows"]}
+    # the two round-4 oracle_conservatism failures must now be solved,
+    # strict-certified
+    for idx in (2118, 2170):
+        assert rows[idx]["success"], rows[idx]
+        assert rows[idx]["strict_certified"], rows[idx]

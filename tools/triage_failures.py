@@ -45,38 +45,12 @@ EXACT_ORACLE = {"maze2", "maze2easy", "maze2hard", "maze3", "snake7"}
 
 
 def _strict_checker(name, env):
-    """Build the hull-surface strict checker for an arm env (lazy, ~30 s)."""
+    """Hull-surface strict checker (moved to envs/strict.py::strict_checker
+    in round 5 so the planner's strict-fallback stage shares it)."""
 
-    from gnn_motion_planning_tpu.envs.strict import (
-        build_surface_points,
-        make_strict_hit,
-        make_strict_hit_dual,
-    )
+    from gnn_motion_planning_tpu.envs.strict import strict_checker
 
-    urdf = {
-        "kuka7": "assets/kuka_iiwa/model_0.urdf",
-        "kuka13": "assets/kuka_iiwa/model_3.urdf",
-        "kuka14": "assets/kuka_iiwa/model_0.urdf",
-        "ur5": "assets/ur5/ur5.urdf",
-    }[name]
-    surface = build_surface_points(env.model, str(REPO / urdf), spacing=0.01)
-    if name == "kuka14":
-        return make_strict_hit_dual(env.chain, surface, env.base1, env.base2)
-    plane_point_mask = None
-    if name == "ur5":
-        cap_link = np.asarray(env.chain.cap_link)
-        plane_frames = set(
-            cap_link[np.asarray(env.geom.plane_mask)].tolist()
-        )
-        plane_point_mask = np.isin(
-            np.asarray(surface.frame), sorted(plane_frames)
-        )
-    return make_strict_hit(
-        env.chain,
-        surface,
-        base_trans=getattr(env, "base_trans", None),
-        plane_point_mask=plane_point_mask,
-    )
+    return strict_checker(env)
 
 
 def _witness_verdicts(env, witness, strict):
