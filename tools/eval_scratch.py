@@ -145,6 +145,23 @@ def main_next(ckpt, name="maze2easy", n=250):
     )
     out = _eval_tree_planner(env, idx[:n], False, 1000, model, 0.1)
     print("success", out[0], "of", n)
+
+    import json
+
+    log_dir = REPO / "assets" / "train_logs" / f"{name}_next_scratch"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    row = {
+        "ckpt": Path(ckpt).name,
+        "n_problems": int(n),
+        "success": int(out[0]),
+        "collision_checks": float(out[1]),
+        "running_time_s": float(out[2]),
+        "path_cost": float(out[3]),
+        "protocol": {"T": 1000, "g_explore_eps": 0.1},
+        "converted_weights_row": f"assets/benchmarks/{name}.json",
+    }
+    (log_dir / f"eval_{name}.json").write_text(json.dumps(row, indent=1))
+    print("wrote", log_dir / f"eval_{name}.json")
     return out
 
 

@@ -12,7 +12,11 @@ files are not shipped; see tools/generate_problems.py) — full 1000-problem
 splits since round 4 (solvability-verified through index 3000).
 
 Usage: python tools/grand_sweep.py [--methods=GNN,BIT*] [--envs=Maze_2D_Easy]
-       [--n-base=100] [--out=data/result.p]
+       [--n-base=100] [--out=data/result.p] [--force]
+
+--force re-runs (and overwrites) cells already in the pickle — used by the
+round-5 full-split baseline refresh (n-base=1000) to replace the n=100
+classical-baseline cells the resume logic would otherwise keep.
 """
 
 from __future__ import annotations
@@ -66,6 +70,7 @@ def main(argv):
     env_names = None
     n_base = 100
     out_path = "data/result.p"
+    force = False  # re-run (and overwrite) cells already in the pickle
     for a in argv:
         if a.startswith("--methods="):
             method_names = a.split("=", 1)[1].split(",")
@@ -75,6 +80,8 @@ def main(argv):
             n_base = int(a.split("=", 1)[1])
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a == "--force":
+            force = True
 
     out = Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -87,7 +94,7 @@ def main(argv):
         env = None
         for method_name in method_names:
             key = (env_name, method_name, str(seed))
-            if key in result_total:
+            if key in result_total and not force:
                 print(f"skip {key} (done)", flush=True)
                 continue
             if env is None:

@@ -146,6 +146,45 @@ def train_smoother_scratch(
           flush=True)
 
 
+def train_next_scratch(
+    config: str, n_problems: int = 400, T: int = 1000, train_every: int = 100
+):
+    """From-scratch NEXT imitation run (reference train_next.py:42-120).
+
+    The reference trains on 2000 problems; the in-repo runs use a reduced
+    problem budget (recorded in summary.json) because NEXT planning is the
+    per-sample cost and the 3D families run ~10-15 s/problem — the loss
+    curve plateaus well before the reference budget on these datasets.
+    """
+
+    from gnn_motion_planning_tpu.training.next import train_next
+
+    out = OUT_DIR / f"next_{config}_scratch.npz"
+    log = LOG_DIR / f"{config}_next_scratch"
+    log.mkdir(parents=True, exist_ok=True)
+    t0 = time()
+    params, losses = train_next(
+        config, T=T, n_problems=n_problems, model_path=str(out),
+        train_every=train_every, log_dir=str(log), from_scratch=True,
+    )
+    (log / "summary.json").write_text(
+        json.dumps(
+            {
+                "config": config,
+                "n_problems": n_problems,
+                "T": T,
+                "train_every": train_every,
+                "reference_budget_note": "reference train_next.py uses 2000 problems",
+                "losses": [round(float(x), 5) for x in losses],
+                "wall_s": round(time() - t0, 1),
+                "ckpt": str(out),
+            },
+            indent=1,
+        )
+    )
+    print(f"next scratch {config}: {len(losses)} updates -> {out}", flush=True)
+
+
 if __name__ == "__main__":
     kind, config = sys.argv[1], sys.argv[2]
     finetune = "--finetune" in sys.argv
@@ -154,5 +193,7 @@ if __name__ == "__main__":
         train_explorer_scratch(config, *args, finetune=finetune)
     elif kind == "smoother":
         train_smoother_scratch(config, *args)
+    elif kind == "next":
+        train_next_scratch(config, *args)
     else:
         raise SystemExit(f"unknown kind {kind}")
