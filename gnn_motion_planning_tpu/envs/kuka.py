@@ -218,6 +218,7 @@ class KukaEnv:
         self.path = path
         self._scene = make_box_scene(obstacles)
         self._set_native_scene()
+        self._draw_pos = 0  # per-problem draw counter anchoring _bias_draws
 
     def __str__(self):
         return "kuka" + str(self.config_dim)
@@ -238,6 +239,7 @@ class KukaEnv:
         self.path = path
         self._scene = make_box_scene(obstacles)
         self._set_native_scene()
+        self._draw_pos = 0  # per-problem draw counter anchoring _bias_draws
         return self.get_problem()
 
     def _set_native_scene(self):
@@ -335,6 +337,54 @@ class KukaEnv:
         sample = self._rand().uniform(pr[:, 0], pr[:, 1], (n, self.config_dim))
         return sample.reshape(-1) if n == 1 else sample
 
+    # fraction of draws remapped when sampler_bias = "endpoint" is set
+    _ENDPOINT_EVERY = 4
+
+    def _bias_draws(self, draws: np.ndarray, offset: int = 0) -> np.ndarray:
+        """Opt-in narrow-pocket sampler bias ("endpoint").
+
+        Motivation: the kuka13 planner_miss triage
+        (assets/benchmarks/miss_probe_kuka13.json) showed the failures are
+        RGG disconnection at the endpoints — the init configuration has
+        ZERO capsule-free straight-line edges to any of the 500 uniform
+        samples (a tight C-space pocket), so no explorer can solve them at
+        the protocol budget. The fix must put samples *inside the pocket*.
+
+        Every ``_ENDPOINT_EVERY``-th draw (by absolute per-problem draw
+        position ``offset`` = ``self._draw_pos`` — chunking-independent,
+        like envs/snake.py::_bias_draws) is remapped into a concentrated
+        neighborhood of init or goal (alternating): per joint,
+        ``anchor + (2u-1)^3 * 0.25 * span`` where u is the original
+        uniform draw — a pure per-row function of the stream, so the
+        accept-rate chunking's replay stays exact and overall support is
+        unchanged (unbiased rows remain uniform over the full box).
+
+        Off by default; the reference-protocol rows never set
+        ``env.sampler_bias``.
+        """
+
+        if getattr(self, "sampler_bias", None) is None:
+            return draws
+        if self.sampler_bias != "endpoint":
+            raise ValueError(f"unknown sampler_bias {self.sampler_bias!r}")
+        draws = draws.copy()
+        pos = offset + np.arange(len(draws))
+        idx = np.nonzero(pos % self._ENDPOINT_EVERY == 0)[0]
+        if not len(idx):
+            return draws
+        pr = np.array(self.pose_range)
+        span = pr[:, 1] - pr[:, 0]
+        u = (draws[idx] - pr[:, 0]) / span
+        off = (2.0 * u - 1.0) ** 3 * (0.25 * span)
+        toward_goal = ((pos[idx] // self._ENDPOINT_EVERY) % 2 == 1)[:, None]
+        anchor = np.where(
+            toward_goal,
+            np.asarray(self.goal_state, np.float64),
+            np.asarray(self.init_state, np.float64),
+        )
+        draws[idx] = np.clip(anchor + off, pr[:, 0], pr[:, 1])
+        return draws
+
     @timed(Timer.SAMPLE)
     def sample_n_points(self, n: int, need_negative: bool = False):
         """Chunked rejection sampling; stream-identical to
@@ -377,7 +427,10 @@ class KukaEnv:
             else:
                 chunk = max(2 * need, 512)  # few buckets -> few compiles
             state = rng.get_state()
-            draws = rng.uniform(pr[:, 0], pr[:, 1], (chunk, self.config_dim))
+            draws = self._bias_draws(
+                rng.uniform(pr[:, 0], pr[:, 1], (chunk, self.config_dim)),
+                offset=getattr(self, "_draw_pos", 0),
+            )
             ok = self._batch_free(draws)
             n_acc = int(ok.sum())
             obs = n_acc / chunk
@@ -391,6 +444,7 @@ class KukaEnv:
                 need = 0
             else:
                 need -= n_acc
+            self._draw_pos = getattr(self, "_draw_pos", 0) + len(draws)
             self.collision_check_count += len(draws)
             samples.extend(draws[ok])
             negative.extend(draws[~ok])

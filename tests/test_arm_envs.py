@@ -305,3 +305,56 @@ def test_snake_corridor_cache_and_chunk_invariance():
         [env._bias_draws(u[i : i + 1], offset=i)[0] for i in range(64)]
     )
     np.testing.assert_array_equal(whole, rows)
+
+
+def test_kuka_endpoint_bias_sampler():
+    """Opt-in endpoint bias (envs/kuka.py::_bias_draws): off by default,
+    chunk-independent per-problem row selection, stream-replay exact, and
+    biased rows concentrate near init/goal (the kuka13 graph-disconnection
+    fix, assets/benchmarks/miss_probe_kuka13.json)."""
+
+    from gnn_motion_planning_tpu.config import set_random_seed
+    from gnn_motion_planning_tpu.envs import KukaEnv
+
+    env = KukaEnv()
+    env.init_new_problem(2000)
+
+    # default off: identity
+    pr = np.array(env.pose_range)
+    draws = np.random.RandomState(0).uniform(pr[:, 0], pr[:, 1], (32, 7))
+    np.testing.assert_array_equal(env._bias_draws(draws), draws)
+
+    env.sampler_bias = "endpoint"
+    biased = env._bias_draws(draws, offset=0)
+    every = KukaEnv._ENDPOINT_EVERY
+    sel = np.arange(0, 32, every)
+    unsel = np.setdiff1d(np.arange(32), sel)
+    np.testing.assert_array_equal(biased[unsel], draws[unsel])
+    # biased rows are within the shrunk neighborhood of init or goal
+    span = pr[:, 1] - pr[:, 0]
+    d_init = np.abs(biased[sel] - env.init_state)
+    d_goal = np.abs(biased[sel] - env.goal_state)
+    near = np.minimum(d_init.max(axis=1) / span.max(),
+                      d_goal.max(axis=1) / span.max())
+    assert np.all(near <= 0.25 + 1e-12)
+
+    # chunk-splitting independence
+    whole = env._bias_draws(draws, offset=0)
+    rows = np.stack(
+        [env._bias_draws(draws[i : i + 1], offset=i)[0] for i in range(32)]
+    )
+    np.testing.assert_array_equal(whole, rows)
+
+    # stream-replay exact through the chunked sampler (per-problem reset)
+    env.init_new_problem(2000)
+    env.rng = set_random_seed(7)
+    a, na = env.sample_n_points(50, need_negative=True)
+    after_a = env.rng.uniform(0.0, 1.0, 3)
+    env.init_new_problem(2000)
+    env.rng = set_random_seed(7)
+    b, nb = env.sample_n_points(50, need_negative=True)
+    after_b = env.rng.uniform(0.0, 1.0, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(na) == len(nb)
+    np.testing.assert_array_equal(after_a, after_b)
+    env.sampler_bias = None

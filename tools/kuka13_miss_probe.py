@@ -94,7 +94,7 @@ def _shortest_feasible(v_np, F, a, b, ok):
     return path[::-1]
 
 
-def probe(name: str = "kuka13", seed: int = 1234):
+def probe(name: str = "kuka13", seed: int = 1234, bias: str | None = None):
     import jax.numpy as jnp
 
     from gnn_motion_planning_tpu.api.registry import str2env, str2name
@@ -109,6 +109,8 @@ def probe(name: str = "kuka13", seed: int = 1234):
         f["index"] for f in failures["failures"] if f["class"] == "planner_miss"
     ]
     env, _ = str2env(name)
+    if bias:
+        env.sampler_bias = bias  # opt-in (envs/kuka.py::_bias_draws)
     _, model, _, _, _ = str2name(name)
     d = env.config_dim
 
@@ -179,12 +181,17 @@ def probe(name: str = "kuka13", seed: int = 1234):
         records.append(rec)
         print(json.dumps(rec)[:400], flush=True)
 
-    out = REPO / "assets" / "benchmarks" / f"miss_probe_{name}.json"
+    stem = f"miss_probe_{name}" + (f"_bias_{bias}" if bias else "")
+    out = REPO / "assets" / "benchmarks" / f"{stem}.json"
     out.write_text(json.dumps(
-        {"env": name, "seed": seed, "targets": targets, "records": records},
-        indent=1))
+        {"env": name, "seed": seed, "bias": bias, "targets": targets,
+         "records": records}, indent=1))
     print("wrote", out)
 
 
 if __name__ == "__main__":
-    probe(sys.argv[1] if len(sys.argv) > 1 else "kuka13")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bias = None
+    if "--bias" in sys.argv:
+        bias = sys.argv[sys.argv.index("--bias") + 1]
+    probe(args[0] if args else "kuka13", bias=bias)

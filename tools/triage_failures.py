@@ -10,10 +10,15 @@ metric, eval_gnn.py:128,136), dissect WHY and classify:
                        capsule oracle blocks it while the sound hull-surface
                        verifier (envs/strict.py) says it is collision-free:
                        the capsule approximation removed the corridor
-  planner_miss         a witness corridor exists under OUR oracle (dataset
-                       witness is capsule-valid, or BIT* with a generous
-                       budget solves it) but the GNN pipeline misses it even
-                       at 4x budget
+  graph_disconnected   a witness exists (capsule-valid dataset path, or
+                       BIT* solves it), but the exact protocol RGG draw
+                       contains NO feasible init->goal path (full oracle
+                       check + BFS, graphs/audit.py) — sample-coverage
+                       bound: no explorer can solve a disconnected graph
+  planner_miss         a witness corridor exists under OUR oracle AND the
+                       protocol RGG is connected, yet the GNN pipeline
+                       misses it even at 4x budget — the only genuinely
+                       model-bound class
   presumed_hard        no witness found: 4x-budget GNN, the dataset witness
                        (if any), and a 60 s BIT* run all fail — consistent
                        with an unsolvable / near-unsolvable instance
@@ -182,7 +187,21 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
             rec.get("witness_edges_capsule_blocked", 1) == 0
             and rec.get("witness_edges", 0) > 0
         ) or rec.get("retry_bitstar"):
-            rec["class"] = "planner_miss"
+            # a witness exists under our oracle — but before blaming the
+            # model, check whether the exact protocol RGG contains ANY
+            # feasible path (round-5 finding: all three round-4 kuka13
+            # "planner_miss" failures were graph-disconnected at the
+            # protocol draw, miss_probe_kuka13.json — no explorer can
+            # solve a disconnected graph at that budget)
+            from gnn_motion_planning_tpu.graphs.audit import (
+                protocol_rgg_connected,
+            )
+
+            conn = protocol_rgg_connected(env, seed, int(i))
+            rec["protocol_rgg"] = conn
+            rec["class"] = (
+                "planner_miss" if conn["connected"] else "graph_disconnected"
+            )
         else:
             rec["class"] = "presumed_hard"
 
@@ -224,7 +243,7 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
         "n_failures": len(failures),
         "classes": counts,
         "protocol": f"seed {seed}, per-problem streams, overrides {over}",
-        "taxonomy": "budget_exhaustion | oracle_conservatism | planner_miss | presumed_hard",
+        "taxonomy": "budget_exhaustion | oracle_conservatism | graph_disconnected | planner_miss | presumed_hard",
         "metrics": metrics,
         "failures": failures,
         "wall_s": round(time() - t_start, 1),
