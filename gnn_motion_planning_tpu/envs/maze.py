@@ -122,11 +122,17 @@ class OccScene(NamedTuple):
       cells; a lookup is `any(flat_id == cells)` over the fixed `cap`
       (~256 compares per point). The bitmap path replaced it for a ~7x
       cut in per-point compare work (tools/ab_occ.py).
+    - `flat_words` (packed path, round 5): the whole W*W grid packed into
+      ceil(W*W/32) int32 words indexed by the flat cell id; a lookup
+      selects 1 of ~8 words (vs 1 of W rows) — about half the compare
+      work of the row path at W=15. A/B'd in tools/ab_occ.py; the faster
+      one on the device wins via `OCC_LOOKUP`.
     """
 
     occ: jnp.ndarray  # (W, W) occupancy grid, nonzero = obstacle
     cells: jnp.ndarray  # (K,) int32 flat ids of occupied cells, -1 pad
     row_masks: jnp.ndarray  # (W,) int32, bit j of entry i = occ[i, j]
+    flat_words: jnp.ndarray  # (ceil(W*W/32),) int32 packed flat bitmap
 
 
 def make_occ_scene(occ_map, cap: int = 256) -> OccScene:
@@ -140,10 +146,17 @@ def make_occ_scene(occ_map, cap: int = 256) -> OccScene:
     if width > 31:  # row must fit an int32 bitmask
         raise ValueError(f"grid width {width} exceeds bitmap capacity 31")
     masks = (np.asarray(occ_np != 0, np.int64) << np.arange(width)).sum(1)
+    n_words = -(-(width * width) // 32)
+    occ_flat = np.flatnonzero(occ_np.reshape(-1) != 0)
+    words = np.zeros(n_words, np.int64)
+    np.bitwise_or.at(words, occ_flat >> 5, np.int64(1) << (occ_flat & 31))
+    # int64 -> int32 bit pattern (bit 31 would overflow a signed int32)
+    words = words.astype(np.uint32).view(np.int32)
     return OccScene(
         jnp.asarray(occ_np),
         jnp.asarray(cells),
         jnp.asarray(masks.astype(np.int32)),
+        jnp.asarray(words),
     )
 
 
@@ -160,19 +173,49 @@ def _occ_at_cells(occ: OccScene, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.any(flat[..., None] == occ.cells, axis=-1)
 
 
+# occupancy lookup strategy: "flat" (packed whole-grid bitmap, default) or
+# "row" (per-row bitmasks). Both bit-exact; tools/ab_occ.py A/Bs them.
+OCC_LOOKUP = "flat"
+
+
+def _occ_at_rows(occ: OccScene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Row-bitmask lookup (the round-4 path; kept for A/B)."""
+
+    width = occ.occ.shape[-1]
+    c = grid_coord(xy, width)
+    c0, c1 = c[..., 0], c[..., 1]
+    # grid_coord clamps the upper side only; negatives (invalid states,
+    # checked separately by callers) must read as "no obstacle" exactly
+    # like the legacy flat-id compare.
+    in_range = (c0 >= 0) & (c1 >= 0)
+    sel = c0[..., None] == jnp.arange(width, dtype=c0.dtype)
+    word = jnp.sum(jnp.where(sel, occ.row_masks, 0), axis=-1)
+    bit = (word >> jnp.maximum(c1, 0)) & 1
+    return in_range & (bit != 0)
+
+
+def _occ_at_flat(occ: OccScene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Packed whole-grid bitmap lookup: select 1 of ceil(W^2/32) words by
+    flat-id >> 5, then test bit flat-id & 31. Half the compare-select
+    width of the row path at W=15 (8 words vs 15 rows)."""
+
+    width = occ.occ.shape[-1]
+    c = grid_coord(xy, width)
+    c0, c1 = c[..., 0], c[..., 1]
+    in_range = (c0 >= 0) & (c1 >= 0)
+    flat = jnp.maximum(c0, 0) * width + jnp.maximum(c1, 0)
+    n_words = occ.flat_words.shape[0]
+    sel = (flat >> 5)[..., None] == jnp.arange(n_words, dtype=flat.dtype)
+    word = jnp.sum(jnp.where(sel, occ.flat_words, 0), axis=-1)
+    bit = (word >> (flat & 31)) & 1
+    return in_range & (bit != 0)
+
+
 def _occ_at(occ, xy: jnp.ndarray) -> jnp.ndarray:
     if isinstance(occ, OccScene):
-        width = occ.occ.shape[-1]
-        c = grid_coord(xy, width)
-        c0, c1 = c[..., 0], c[..., 1]
-        # grid_coord clamps the upper side only; negatives (invalid states,
-        # checked separately by callers) must read as "no obstacle" exactly
-        # like the legacy flat-id compare.
-        in_range = (c0 >= 0) & (c1 >= 0)
-        sel = c0[..., None] == jnp.arange(width, dtype=c0.dtype)
-        word = jnp.sum(jnp.where(sel, occ.row_masks, 0), axis=-1)
-        bit = (word >> jnp.maximum(c1, 0)) & 1
-        return in_range & (bit != 0)
+        if OCC_LOOKUP == "flat":
+            return _occ_at_flat(occ, xy)
+        return _occ_at_rows(occ, xy)
     occ = jnp.asarray(occ)
     width = _occ_width(occ)
     c = grid_coord(xy, width)

@@ -191,3 +191,33 @@ def test_step_done_is_scalar_bool():
         np.asarray(env.init_state), new_state=np.asarray(env.goal_state)
     )
     assert isinstance(done, (bool, np.bool_)) and np.ndim(done) == 0
+
+
+def test_occ_lookup_variants_agree():
+    """All three gather-free occupancy lookups (legacy cells compare,
+    row bitmasks, round-5 packed flat bitmap) agree bit-for-bit inside
+    the valid state box, on full-coverage cell centers + random grids
+    (flat-word bit-31 boundaries included via dense random occupancy)."""
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gnn_motion_planning_tpu.envs.maze as maze
+
+    rng = np.random.RandomState(0)
+    grid = np.stack(
+        np.meshgrid(np.linspace(-1, 1, 61), np.linspace(-1, 1, 61)), -1
+    ).reshape(-1, 2)
+    for density in (0.1, 0.5, 0.95):
+        occ = (rng.rand(15, 15) < density).astype(np.float64)
+        scene = maze.make_occ_scene(occ)
+        xs = np.concatenate(
+            [rng.uniform(-1, 1, (2048, 2)), grid]
+        ).astype(np.float32)
+        r = np.asarray(maze._occ_at_rows(scene, jnp.asarray(xs)))
+        f = np.asarray(maze._occ_at_flat(scene, jnp.asarray(xs)))
+        c = np.asarray(maze._occ_at_cells(scene, jnp.asarray(xs)))
+        g = np.asarray(maze._occ_at(occ, jnp.asarray(xs)))
+        np.testing.assert_array_equal(r, f)
+        np.testing.assert_array_equal(c, f)
+        np.testing.assert_array_equal(g, f)

@@ -1,10 +1,19 @@
-"""A/B the maze occupancy lookup: legacy padded-cell compare vs bitmap.
+"""A/B the maze occupancy lookup variants on the bench workload.
 
-Runs the exact bench.py edge workload (32768 free-free maze2 edges,
-reps queued, median of passes) twice — once with the legacy
-`any(flat_id == cells)` compare (envs/maze.py::_occ_at_cells) and once
-with the row-bitmask path (the default `_occ_at`) — asserting decisions
-AND counts bit-identical, and writes assets/benchmarks/ab_occ.json.
+Three bit-identical implementations of the per-point occupancy test
+(envs/maze.py::_occ_at):
+
+  cells  legacy padded-cell compare (`any(flat_id == cells)`, ~cap=256
+         compares/point)
+  rows   per-row int32 bitmasks (W-wide compare-select + bit test; the
+         round-4 default, ~7x less compare work than `cells`)
+  flat   whole-grid packed bitmap (ceil(W^2/32)-wide compare-select + bit
+         test; round 5 — half the select width of `rows` at W=15)
+
+Runs the exact bench.py edge workload (32768 free-free maze2 edges, reps
+queued, median of passes) once per variant, asserting decisions AND
+counts bit-identical, and writes assets/benchmarks/ab_occ.json. The
+fastest variant should be the `OCC_LOOKUP` default in envs/maze.py.
 
 Needs the TPU: run only when no other axon process is live.
 """
@@ -26,31 +35,30 @@ sys.path.insert(0, str(REPO))  # bench.py lives at the repo root
 import bench  # noqa: E402
 
 
-def measure(env, a, b, legacy: bool):
+def measure(env, a, b, variant: str):
     import gnn_motion_planning_tpu.envs.maze as maze
 
-    # edge_free_2d reads _occ_at at call time via the module global, so a
+    # edge_free_2d reads _occ_at at trace time via the module global, so a
     # patch swaps the lookup without touching the kernel
-    if legacy:
-        def occ_at(occ, xy):
-            return maze._occ_at_cells(occ, xy)
-
-        with mock.patch.object(maze, "_occ_at", occ_at):
+    if variant == "cells":
+        with mock.patch.object(
+            maze, "_occ_at", lambda o, xy: maze._occ_at_cells(o, xy)
+        ):
             return bench.measure_tpu(env, a, b)
-    return bench.measure_tpu(env, a, b)
+    with mock.patch.object(maze, "OCC_LOOKUP", "flat" if variant == "flat" else "row"):
+        return bench.measure_tpu(env, a, b)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    import gnn_motion_planning_tpu.envs.maze as maze
     from gnn_motion_planning_tpu.envs.maze import (
         MazeEnv,
         edge_free_2d,
         make_occ_scene,
-        _occ_at_cells,
     )
-    import gnn_motion_planning_tpu.envs.maze as maze
 
     env = MazeEnv(dim=2)
     env.init_new_problem(2000)
@@ -60,25 +68,30 @@ def main():
 
     # bit-equality of decisions and counts on the full workload
     av, bv = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
-    f_new, c_new = jax.jit(
-        jax.vmap(lambda x, y: edge_free_2d(scene, x, y))
-    )(av, bv)
-    with mock.patch.object(maze, "_occ_at", lambda o, xy: _occ_at_cells(o, xy)):
-        f_old, c_old = jax.jit(
-            jax.vmap(lambda x, y: edge_free_2d(scene, x, y))
-        )(av, bv)
-    assert bool(jnp.all(f_new == f_old)), "decision mismatch"
-    assert bool(jnp.all(c_new == c_old)), "count mismatch"
-    print("decisions + counts bit-identical", flush=True)
+    outs = {}
+    for variant, occ_at in (
+        ("cells", lambda o, xy: maze._occ_at_cells(o, xy)),
+        ("rows", lambda o, xy: maze._occ_at_rows(o, xy)),
+        ("flat", lambda o, xy: maze._occ_at_flat(o, xy)),
+    ):
+        with mock.patch.object(maze, "_occ_at", occ_at):
+            outs[variant] = jax.jit(
+                jax.vmap(lambda x, y: edge_free_2d(scene, x, y))
+            )(av, bv)
+    for variant in ("rows", "flat"):
+        assert bool(jnp.all(outs[variant][0] == outs["cells"][0])), variant
+        assert bool(jnp.all(outs[variant][1] == outs["cells"][1])), variant
+    print("decisions + counts bit-identical across all variants", flush=True)
 
     bench._settle_host(budget_s=60.0)
-    r_old = measure(env, a, b, legacy=True)
-    r_new = measure(env, a, b, legacy=False)
+    rates = {v: measure(env, a, b, v) for v in ("cells", "rows", "flat")}
+    best = max(rates, key=rates.get)
     out = {
         "workload": "bench.py maze2 edge batch (32768 edges)",
-        "legacy_cells_checks_per_s": round(r_old, 1),
-        "bitmap_checks_per_s": round(r_new, 1),
-        "speedup": round(r_new / r_old, 3),
+        "checks_per_s": {v: round(r, 1) for v, r in rates.items()},
+        "flat_vs_rows": round(rates["flat"] / rates["rows"], 3),
+        "best": best,
+        "default_in_tree": maze.OCC_LOOKUP,
         "bit_identical": True,
     }
     path = REPO / "assets" / "benchmarks" / "ab_occ.json"
