@@ -113,6 +113,8 @@ def main(argv):
             result_total[env_name, method_name, "Avg"] = tuple(
                 float(np.asarray(result[i]).mean()) for i in range(5)
             )
+            # cell size, so the table renderer doesn't have to guess
+            result_total[env_name, method_name, "n"] = len(idx)
             # merge-on-write: another sweep process may have added cells to
             # the pickle since we loaded it — never clobber them
             if out.exists():

@@ -23,9 +23,9 @@ SWEEP_ENVS = [
     "Kuka_7D", "Kuka_13D", "Kuka_14D",
 ]
 SWEEP_METHODS = ["GNN", "NEXT", "BIT*", "RRT*", "LazySP"]
-GNN_SPLIT = {  # GNN runs the full split; classical baselines the first 100
+GNN_SPLIT = {  # fallback ns for pre-round-5 cells without an "n" entry
     "Maze_2D_Easy": 1000, "Maze_2D_Normal": 1000, "Maze_2D_Hard": 1000,
-    "Maze_3D": 1000, "Kuka_7D": 1000, "Kuka_13D": 250, "Kuka_14D": 400,
+    "Maze_3D": 1000, "Kuka_7D": 1000, "Kuka_13D": 1000, "Kuka_14D": 1000,
 }
 
 BENCH_ORDER = [
@@ -53,7 +53,9 @@ def render_sweep() -> str:
             if key not in d:
                 continue
             succ, checks, t, cost, _total = d[key]
-            n = GNN_SPLIT[env] if m == "GNN" else 100
+            # cells written since round 5 carry their size; older cells:
+            # GNN ran full splits, classical baselines the first 100
+            n = d.get((env, m, "n"), GNN_SPLIT[env] if m == "GNN" else 100)
             lines.append(
                 f"| {env} | {m} | {n} | {succ:.0f} | {checks:.0f} "
                 f"| {t:.2f} | {cost:.2f} |"
