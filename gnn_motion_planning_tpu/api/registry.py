@@ -138,10 +138,25 @@ EVAL_OVERRIDES = {
 }
 
 
+# knobs that tune only the batched lane-compaction path; the scalar
+# protocol explore() does not accept them
+_BATCHED_ONLY = ("chunk", "lanes")
+
+
 def eval_overrides(name: str) -> dict:
     """Harness kwargs overriding the reference defaults for one config."""
 
     return dict(EVAL_OVERRIDES.get(name, {}))
+
+
+def scalar_overrides(name: str) -> dict:
+    """Protocol overrides valid for the scalar explore path (batched-only
+    knobs like `chunk` dropped — they would TypeError in explore())."""
+
+    return {
+        k: v for k, v in EVAL_OVERRIDES.get(name, {}).items()
+        if k not in _BATCHED_ONLY
+    }
 
 
 def _spec_key(name: str) -> str:

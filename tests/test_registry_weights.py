@@ -44,3 +44,23 @@ def test_scratch_env_var_falls_back_when_absent(monkeypatch):
     monkeypatch.delenv("GMP_WEIGHTS")
     conv, _ = registry.str2models("kuka13")
     np.testing.assert_array_equal(_leaf(m.params), _leaf(conv.params))
+
+
+def test_scalar_overrides_drop_batched_only_knobs():
+    """EVAL_OVERRIDES mixes protocol deviations (t_max) with batched-path
+    tuning (chunk); the scalar explore() path must only ever see the
+    former (regression: `chunk` leaked through tools/eval_scratch.py and
+    TypeError'd the maze2easy smoother-scratch eval)."""
+
+    from gnn_motion_planning_tpu.api.registry import (
+        EVAL_OVERRIDES,
+        eval_overrides,
+        scalar_overrides,
+    )
+
+    assert "chunk" in eval_overrides("maze2easy")
+    assert scalar_overrides("maze2easy") == {}
+    assert scalar_overrides("snake7") == {"t_max": 2000}
+    for name in EVAL_OVERRIDES:
+        assert "chunk" not in scalar_overrides(name)
+        assert "lanes" not in scalar_overrides(name)

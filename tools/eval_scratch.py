@@ -77,7 +77,7 @@ def main_smoother(ckpt, name="maze2easy", n=100):
 
     from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn
     from gnn_motion_planning_tpu.api.registry import (
-        eval_overrides,
+        scalar_overrides,
         str2env,
         str2name,
     )
@@ -88,7 +88,7 @@ def main_smoother(ckpt, name="maze2easy", n=100):
     with np.load(ckpt) as f:
         params = _nest({k: f[k] for k in f.files})
     model_s = model_s._replace(params=params)
-    kwargs = eval_overrides(name)
+    kwargs = scalar_overrides(name)
     out = eval_gnn(name, 1234, env, idx[:n], model=model, model_s=model_s,
                    **kwargs)
     print("success", out[0], "of", n, "path_cost", out[3])

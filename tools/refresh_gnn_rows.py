@@ -89,11 +89,11 @@ def write_registry_row(name: str, n: int, result, wall: float, over, env):
 
 def run_gnn(name: str, sweep_name: str | None, n: int):
     from gnn_motion_planning_tpu.api.eval_gnn import eval_gnn
-    from gnn_motion_planning_tpu.api.registry import eval_overrides, str2env
+    from gnn_motion_planning_tpu.api.registry import scalar_overrides, str2env
 
     env, indexes = str2env(name)
     idx = indexes[:n]
-    over = {k: v for k, v in eval_overrides(name).items() if k != "chunk"}
+    over = scalar_overrides(name)
     print(f"=== {name} / GNN / {len(idx)} problems ===", flush=True)
     t0 = time()
     result = eval_gnn(name, 1234, env, idx, use_tqdm=True, **over)

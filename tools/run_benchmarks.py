@@ -48,11 +48,10 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         from gnn_motion_planning_tpu.api import explore, path_cost, str2name
         from gnn_motion_planning_tpu.config import problem_rng, set_random_seed
 
-        from gnn_motion_planning_tpu.api.registry import eval_overrides
+        from gnn_motion_planning_tpu.api.registry import scalar_overrides
 
         over = dict(t_max=500)
-        over.update(eval_overrides(name))
-        over.pop("chunk", None)  # batched-path knob
+        over.update(scalar_overrides(name))
         _, model, _, model_s, _ = str2name(name)
         set_random_seed(1234)
         # warm compiles outside the timed region
@@ -85,7 +84,10 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         )
         return out
 
-    from gnn_motion_planning_tpu.api.registry import eval_overrides
+    from gnn_motion_planning_tpu.api.registry import (
+        eval_overrides,
+        scalar_overrides,
+    )
 
     mesh = None
     if shards:
@@ -96,8 +98,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
               f"({mesh.devices.flat[0].platform})", flush=True)
 
     over = eval_overrides(name)
-    # `chunk` tunes only the batched lane-compaction path
-    over_scalar = {k: v for k, v in over.items() if k != "chunk"}
+    over_scalar = scalar_overrides(name)
 
     def _serve(name, env, idx):
         """Serving mode with warm-up; returns the 5-metric tuple + stores

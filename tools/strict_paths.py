@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 def audit_paths(name: str, n_problems: int = 100, spacing: float = 0.01):
     from gnn_motion_planning_tpu.api.eval_gnn import explore
     from gnn_motion_planning_tpu.api.registry import (
-        eval_overrides,
+        scalar_overrides,
         str2env,
         str2name,
     )
@@ -69,7 +69,7 @@ def audit_paths(name: str, n_problems: int = 100, spacing: float = 0.01):
             plane_point_mask=plane_point_mask,
         )
 
-    over = {k: v for k, v in eval_overrides(name).items() if k != "chunk"}
+    over = scalar_overrides(name)
     from gnn_motion_planning_tpu.envs.strict import validate_path_strict
 
     t0 = time()

@@ -86,7 +86,7 @@ def _witness_verdicts(env, witness, strict):
 def triage(name: str, n_problems: int = 1000, seed: int = 1234):
     from gnn_motion_planning_tpu.api.eval_gnn import explore
     from gnn_motion_planning_tpu.api.registry import (
-        eval_overrides,
+        scalar_overrides,
         str2env,
         str2name,
     )
@@ -95,7 +95,7 @@ def triage(name: str, n_problems: int = 1000, seed: int = 1234):
 
     env, indexes = str2env(name)
     _, model, _, model_s, _ = str2name(name)
-    over = {k: v for k, v in eval_overrides(name).items() if k != "chunk"}
+    over = scalar_overrides(name)
     t_max = over.get("t_max", 500)
 
     idx = list(indexes[:n_problems])
