@@ -193,9 +193,24 @@ def explore_batch(
         explored_b = np.zeros((B, N), bool)
 
         round_log = []  # (stacked width, live lanes, device-round wall)
+        W0 = len(pool)
         while True:
             t_r = time()
-            res = planner.round_vchunk(*st, _place(jnp.asarray(dummy)), chunk=chunk)
+            # adaptive tail chunk: per-call pop work is width x chunk, so as
+            # compaction narrows the stack the pop budget grows to match
+            # (pow2 boost, capped) — the straggler tail then costs O(pops /
+            # chunk_eff) device round-trips instead of O(pops / chunk). The
+            # round core is a while_loop, so lanes that finish mid-chunk
+            # exit early and an oversized budget costs nothing. One program
+            # per (width, chunk_eff) pair — same compile count as fixed
+            # chunking, since width determines chunk_eff.
+            boost = 1
+            while boost * 2 * len(pool) <= W0:
+                boost *= 2
+            chunk_eff = min(chunk * boost, 4096)
+            res = planner.round_vchunk(
+                *st, _place(jnp.asarray(dummy)), chunk=chunk_eff
+            )
             done = np.asarray(res.done)
             live = ~dummy
             round_log.append(

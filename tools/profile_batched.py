@@ -53,10 +53,17 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
     for w in widths:
         stats: list = []
         t0 = time()
-        explore_batch(
-            env, model, model_s, indexes, smooth=True, batch=500,
-            t_max=t_max, k=30, lanes=w, stats=stats,
-        )
+        try:
+            explore_batch(
+                env, model, model_s, indexes, smooth=True, batch=500,
+                t_max=t_max, k=30, lanes=w, stats=stats,
+            )
+        except Exception as e:  # e.g. remote-compile infra failure at one
+            # width (kuka14 lanes=64 HTTP 500) — record it and keep the
+            # other widths' data instead of losing the whole artifact
+            out["widths"][str(w)] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            print(f"{name} lanes={w}: FAILED ({type(e).__name__})")
+            continue
         wall = time() - t0
         groups = [s for s in stats if "group_size" in s]
         fb = next((s for s in stats if "scalar_fallbacks" in s), {})
