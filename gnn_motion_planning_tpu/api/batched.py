@@ -270,6 +270,7 @@ def explore_batch(
 
         smooth_counts = {li: 0 for li in paths}
         smooth_paths = {}
+        n_overflow = 0  # lanes redone at full budget (stats)
         t_sm = time()
         if smooth and paths and getattr(model_s, "params", None) is not None:
             l_pad = pad_to_bucket(max(len(p) for p in paths.values()))
@@ -342,6 +343,7 @@ def explore_batch(
                     # the cheap interpolation budget overflowed for this
                     # lane: redo its smoothing at the full budget (scalar
                     # fused program; the cheap run's counts are discarded)
+                    n_overflow += 1
                     p_full, c_full, _ = planner.fused_smooth(
                         model_s.params, model_s.cfg,
                         jax.tree.map(lambda x: x[pi], scene_s),
@@ -382,6 +384,7 @@ def explore_batch(
                 "search_rounds": round_log,
                 "search_s": round(sum(r[2] for r in round_log), 4),
                 "smooth_s": round(smooth_time, 4),
+                "smooth_overflow_redos": n_overflow,
                 "group_s": round(time() - t0, 4),
                 "first_round_failures": int(B - success_b.sum()),
             })
