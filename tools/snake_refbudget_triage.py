@@ -144,6 +144,11 @@ def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234, bias=None,
             f"{records[-1]['class']} ({n_free_edges}/{n_edges} edges pass)",
             flush=True,
         )
+        # incremental checkpoint: a long full-split run that dies keeps
+        # every classified failure (partial=True marks it unfinished)
+        (OUT / (out_name + ".partial")).write_text(json.dumps(
+            {"partial": True, "n_failures_so_far": n_fail,
+             "failures": records}))
 
     summary = {
         "env": "snake7",
@@ -160,6 +165,7 @@ def main(n=250, out_name="failures_snake7_refbudget.json", seed=1234, bias=None,
     }
     out = OUT / out_name
     out.write_text(json.dumps(summary, indent=1))
+    (OUT / (out_name + ".partial")).unlink(missing_ok=True)
     print("wrote", out)
     print(json.dumps(summary["classes"]))
 
