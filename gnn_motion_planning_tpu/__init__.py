@@ -37,3 +37,23 @@ if _os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax as _jax
 
     _jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache for every driver (eval, batched, serve,
+# training), not just the test suite. Cold-process compiles dominate
+# small-batch serving runs (profile_batched_kuka13.json: 96.7 of 160.9 s at
+# lane width 8 is first-group compiles; steady-state lanes beat the scalar
+# path 0.17 vs 0.46 s/problem) — the cache makes every process after the
+# first start warm. Opt out with GNN_TPU_NO_COMPILE_CACHE=1; JAX's own
+# JAX_COMPILATION_CACHE_DIR env var takes precedence when set.
+if not _os.environ.get("GNN_TPU_NO_COMPILE_CACHE"):
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax as _jax_cc
+
+        _jax_cc.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

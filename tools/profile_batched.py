@@ -40,15 +40,23 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
 
     out = {"env": name, "n": n, "t_max": t_max, "widths": {}}
 
-    # scalar reference on the same head
-    t0 = time()
+    # scalar reference on the same head (warm = excluding the first problem,
+    # which pays the scalar path's XLA compiles)
+    per = []
     for i in indexes:
         env.rng = problem_rng(1234, i)
         env.init_new_problem(i)
+        t0 = time()
         explore(env, model, model_s, smooth=True, batch=500, t_max=t_max, k=30)
-    scalar_s = time() - t0
-    out["scalar_s_per_problem"] = round(scalar_s / n, 4)
-    print(f"{name} scalar: {scalar_s / n:.3f} s/problem over {n}")
+        per.append(time() - t0)
+    out["scalar_s_per_problem"] = round(sum(per) / n, 4)
+    out["scalar_warm_s_per_problem"] = (
+        round(sum(per[1:]) / (n - 1), 4) if n > 1 else None
+    )
+    print(
+        f"{name} scalar: {out['scalar_s_per_problem']:.3f} s/problem over {n} "
+        f"(warm {out['scalar_warm_s_per_problem']})"
+    )
 
     for w in widths:
         stats: list = []
@@ -67,8 +75,16 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
         wall = time() - t0
         groups = [s for s in stats if "group_size" in s]
         fb = next((s for s in stats if "scalar_fallbacks" in s), {})
+        # warm amortized: drop the first group, which pays the XLA compiles
+        # for every (width, chunk) shape — with the package-level persistent
+        # compilation cache this is also what any later process observes
+        n_warm = n - groups[0]["group_size"] if len(groups) > 1 else 0
+        warm_s = (
+            round((wall - groups[0]["group_s"]) / n_warm, 4) if n_warm else None
+        )
         agg = {
             "amortized_s_per_problem": round(wall / n, 4),
+            "warm_s_per_problem": warm_s,
             "sample_s": round(sum(g["sample_s"] for g in groups), 2),
             "search_s": round(sum(g["search_s"] for g in groups), 2),
             "smooth_s": round(sum(g["smooth_s"] for g in groups), 2),
@@ -87,6 +103,7 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
         out["widths"][str(w)] = agg
         print(
             f"{name} lanes={w}: {agg['amortized_s_per_problem']:.3f} s/prob "
+            f"(warm {warm_s}) "
             f"(sample {agg['sample_s']}s search {agg['search_s']}s smooth "
             f"{agg['smooth_s']}s fallback {agg['fallback_s']}s x"
             f"{agg['scalar_fallbacks']}; tail rounds "
