@@ -153,6 +153,7 @@ def explore_batch(
 
         F = batch + 2
         N = 2 * F
+        t_st = time()
         scene_b = _place(jax.tree.map(lambda *xs: jnp.stack(xs), *scenes))
         v_b = _place(jnp.asarray(np.stack(vs)))
         valid_b = _place(jnp.asarray(np.stack(valids)))
@@ -160,12 +161,19 @@ def explore_batch(
         goal_b = _place(jnp.asarray(np.stack(goals)))
         obs_tb = _place(jnp.asarray(np.stack(obs_t)))
         obs_mb = _place(jnp.asarray(np.stack(obs_m)))
+        if stats is not None:  # sync so stack/forward split honestly
+            jax.block_until_ready(v_b)
+        t_stack = time() - t_st
 
+        t_f = time()
         edges = planner.edges_vfn(v_b, valid_b, n_free=F, k1=k_scaled(k, F))
         policy = planner.model_vfwd(
             model.params, model.cfg, v_b, valid_b, goal_b,
             edges.src, edges.dst, edges.alive, obs_tb, obs_mb, loop=loop,
         )
+        if stats is not None:
+            jax.block_until_ready(policy)
+        t_forward = time() - t_f
 
         explored0 = np.zeros((W, N), bool)
         explored0[:, 0] = True
@@ -381,6 +389,8 @@ def explore_batch(
                 "group_size": B,
                 "stacked_width": W,
                 "sample_s": round(t_sample, 4),
+                "stack_s": round(t_stack, 4),
+                "forward_s": round(t_forward, 4),
                 "search_rounds": round_log,
                 "search_s": round(sum(r[2] for r in round_log), 4),
                 "smooth_s": round(smooth_time, 4),

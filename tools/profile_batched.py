@@ -86,6 +86,8 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
             "amortized_s_per_problem": round(wall / n, 4),
             "warm_s_per_problem": warm_s,
             "sample_s": round(sum(g["sample_s"] for g in groups), 2),
+            "stack_s": round(sum(g.get("stack_s", 0.0) for g in groups), 2),
+            "forward_s": round(sum(g.get("forward_s", 0.0) for g in groups), 2),
             "search_s": round(sum(g["search_s"] for g in groups), 2),
             "smooth_s": round(sum(g["smooth_s"] for g in groups), 2),
             "fallback_s": fb.get("fallback_s", 0.0),
@@ -104,7 +106,8 @@ def profile_env(name: str, n: int = 100, widths=(8, 25, 64)):
         print(
             f"{name} lanes={w}: {agg['amortized_s_per_problem']:.3f} s/prob "
             f"(warm {warm_s}) "
-            f"(sample {agg['sample_s']}s search {agg['search_s']}s smooth "
+            f"(sample {agg['sample_s']}s stack {agg['stack_s']}s forward "
+            f"{agg['forward_s']}s search {agg['search_s']}s smooth "
             f"{agg['smooth_s']}s fallback {agg['fallback_s']}s x"
             f"{agg['scalar_fallbacks']}; tail rounds "
             f"{agg['quartile_tail_rounds']}/{agg['total_chunk_rounds']})"
