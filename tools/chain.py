@@ -11,7 +11,12 @@ nothing silently doesn't-run again.
 
 Job spec: a JSON list of steps
   [{"name": "...", "cmd": "shell command", "timeout": 4500,
-    "artifacts": ["path", ...], "env": {"K": "V"}?}, ...]
+    "artifacts": ["path", ...], "env": {"K": "V"}?,
+    "skip_if_exists": true?}, ...]
+
+"skip_if_exists": skip the step (status "skipped") when every declared
+artifact already exists — for specs that re-queue work another chain may
+have finished first (deduplication across re-prioritized chains).
 
 Usage:  python tools/chain.py <spec.json> [--summary out.json]
 Status: tail -f <spec>.log ; summary written next to the spec by default.
@@ -48,6 +53,18 @@ def run_chain(spec_path: Path, summary_path: Path | None = None) -> int:
         timeout = step.get("timeout", 3600)
         artifacts = [REPO / a for a in step.get("artifacts", [])]
         t0 = time.time()
+        if step.get("skip_if_exists") and artifacts and all(
+            a.exists() for a in artifacts
+        ):
+            log(f"step {i + 1}/{len(steps)} [{name}] skipped: artifacts exist")
+            results.append(
+                {"name": name, "status": "skipped", "wall_s": 0.0,
+                 "detail": "artifacts already exist", "cmd": cmd}
+            )
+            summary_path.write_text(json.dumps(
+                {"spec": str(spec_path), "done": i + 1, "total": len(steps),
+                 "steps": results}, indent=1))
+            continue
         log(f"step {i + 1}/{len(steps)} [{name}] start: {cmd}")
         env = dict(os.environ)
         env.update(step.get("env", {}))
@@ -82,7 +99,7 @@ def run_chain(spec_path: Path, summary_path: Path | None = None) -> int:
         summary_path.write_text(json.dumps(
             {"spec": str(spec_path), "done": i + 1, "total": len(steps),
              "steps": results}, indent=1))
-    n_bad = sum(r["status"] != "ok" for r in results)
+    n_bad = sum(r["status"] not in ("ok", "skipped") for r in results)
     log(f"chain done: {len(steps) - n_bad}/{len(steps)} ok")
     return 1 if n_bad else 0
 
