@@ -31,6 +31,33 @@ sys.path.insert(0, str(REPO))
 OUT = REPO / "assets" / "benchmarks"
 
 
+def tuned_lanes(name: str, shards: int = 0) -> int:
+    """Lane width for the GNN-batched row.
+
+    Uses the best measured width from this env's profile_batched artifact
+    (tools/profile_batched.py sweeps {8, 25, 64} and records the warm
+    amortized s/problem per width); falls back to the round-3 protocol
+    default of 25 lanes when no profile exists. Sharded runs round the
+    width up to a multiple of the mesh size so lanes partition evenly.
+    """
+    lanes = 25
+    prof = OUT / f"profile_batched_{name}.json"
+    if prof.exists():
+        widths = json.loads(prof.read_text()).get("widths", {})
+        timed = {
+            int(w): v["amortized_s_per_problem"]
+            for w, v in widths.items()
+            if v.get("amortized_s_per_problem")
+        }
+        if timed:
+            lanes = min(timed, key=timed.get)
+            print(f"tuned lanes for {name}: {lanes} "
+                  f"(profile amortized {timed[lanes]:.3f}s/prob)")
+    if shards:
+        lanes = -(-lanes // shards) * shards
+    return lanes
+
+
 def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 0):
     from gnn_motion_planning_tpu.api import (
         eval_bit,
@@ -122,7 +149,7 @@ def run(name: str, n: int = 1000, methods=("GNN", "GNN-batched"), shards: int = 
         "GNN-p50": gnn_percentiles,
         "GNN-batched": lambda env, idx: eval_gnn_batched(
             name, 1234, env, idx, mesh=mesh,
-            lanes=(-(-25 // shards) * shards if shards else 25), **over
+            lanes=tuned_lanes(name, shards), **over
         ),
         "GNN-serve": lambda env, idx: _serve(name, env, idx),
         # reference protocol budget with NO per-config overrides (snake7's
