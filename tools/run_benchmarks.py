@@ -44,15 +44,19 @@ def tuned_lanes(name: str, shards: int = 0) -> int:
     prof = OUT / f"profile_batched_{name}.json"
     if prof.exists():
         widths = json.loads(prof.read_text()).get("widths", {})
+        # warm_s_per_problem (first group — which pays the XLA compiles —
+        # dropped) is what a refresh run observes once the persistent
+        # compile cache is hot; older artifacts only carry the cold number
         timed = {
-            int(w): v["amortized_s_per_problem"]
+            int(w): v.get("warm_s_per_problem")
+            or v.get("amortized_s_per_problem")
             for w, v in widths.items()
-            if v.get("amortized_s_per_problem")
+            if v.get("warm_s_per_problem") or v.get("amortized_s_per_problem")
         }
         if timed:
             lanes = min(timed, key=timed.get)
             print(f"tuned lanes for {name}: {lanes} "
-                  f"(profile amortized {timed[lanes]:.3f}s/prob)")
+                  f"(profile warm {timed[lanes]:.3f}s/prob)")
     if shards:
         lanes = -(-lanes // shards) * shards
     return lanes
