@@ -115,6 +115,16 @@ def main_smoother(ckpt, name="maze2easy", n=100):
 def main_next(ckpt, name="maze2easy", n=250):
     """NEXT scratch checkpoint under the reference tree-planner protocol."""
 
+    # The tree planner dispatches two tiny jitted forwards per iteration;
+    # over the ~24 ms tunnel to the chip that is ~50 s/problem of pure
+    # dispatch latency. The converted-NEXT sweep cells were measured on
+    # host CPU (grand_sweep pins JAX_PLATFORMS=cpu) — pin CPU here too so
+    # scratch-vs-converted times are apples-to-apples and the eval is
+    # dispatch-bound no more.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from gnn_motion_planning_tpu.api.eval_baselines import (
         _eval_tree_planner,
         _seed_env,
