@@ -181,3 +181,26 @@ def test_serve_full_matches_two_call():
     np.testing.assert_allclose(
         np.asarray(r["smooth_path"]), np.asarray(smooth2), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_batched_matches_scalar_kuka14():
+    """Arm-env lane parity (round 5): the maze tests above never exercised
+    the arm envs' chunked rejection sampling, capsule oracle, or the
+    model-smoother overflow path inside explore_batch. Pin a kuka14 head
+    that includes a protocol failure (idx 2006, budget exhaustion) so the
+    scalar-fallback leg is covered too. Full protocol shapes (batch=500,
+    t_max=500) — the same settings as the registry row."""
+
+    idx = np.arange(2000, 2008)
+    env, _ = str2env("kuka14")
+    a = eval_gnn("kuka14", 1234, env, idx, batch=500, t_max=500)
+    env2, _ = str2env("kuka14")
+    b = eval_gnn_batched(
+        "kuka14", 1234, env2, idx, lanes=4, batch=500, t_max=500
+    )
+    assert a[0] == b[0]
+    np.testing.assert_allclose(a[1], b[1])  # collision checks incl. smooth
+    np.testing.assert_allclose(a[7], b[7])  # explore-only checks
+    np.testing.assert_allclose(a[3], b[3], rtol=1e-6)
+    _assert_paths_equal(a, b)
